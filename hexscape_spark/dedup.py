@@ -1,0 +1,128 @@
+"""Deduplication operators for the documents corpus.
+
+Exact (hash groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard —
+the large-scale training-data-pipeline surface.  Everything is built-in
+Spark SQL expressions (xxhash64 / md5 / array functions); the only shuffles
+are the groupBys on hash/bucket keys, which is the theoretical minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_duplicates(df: DataFrame, key: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Exact dedup via content hash: groups with >1 member, representative =
+    min(key).  P9 at web scale: one hash-partitioned groupBy."""
+    h = F.md5(F.encode(F.col(text), "UTF-8"))
+    return (df.select(F.col(key), h.alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_dupes"),
+                 F.min(key).alias("keep_id"))
+            .where(F.col("n_dupes") > 1))
+
+
+def dedup_keep_first(df: DataFrame, key: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Return df minus exact duplicates (keeps lowest key per content)."""
+    h = F.md5(F.encode(F.col(text), "UTF-8"))
+    w = Window.partitionBy("__h").orderBy(F.asc(key))
+    return (df.withColumn("__h", h)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__h", "__rn"))
+
+
+def _shingles(text_col, k: int = 3):
+    """Word k-gram shingles as an array column (JVM-side)."""
+    words = F.split(F.lower(text_col), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 32,
+                 shingle_k: int = 3, out: str = "minhash") -> DataFrame:
+    """MinHash signature: array<long> of per-permutation minima.
+
+    Permutation i is xxhash64(shingle, seed=i); min over shingles.  All
+    array expressions — no UDF, no shuffle.
+    """
+    sh = _shingles(F.col(text), shingle_k)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)])
+    return df.withColumn(out, sig)
+
+
+def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    signature -> `bands` band-hashes -> explode -> self-join per bucket.
+    Shuffle key is (band, band_hash): sparse buckets keep the join skew-safe
+    and AQE splits hot buckets.  Returns distinct (a, b) with a < b.
+    """
+    rows = num_hashes // bands
+    sig = with_minhash(df.select(key, text), text, num_hashes, shingle_k)
+    band_cols = [
+        F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("minhash"), i * rows + j + 1).cast("string")
+                                      for j in range(rows)]), F.lit(1000 + i)).alias(f"b{i}")
+        for i in range(bands)]
+    banded = sig.select(F.col(key), *band_cols)
+    buckets = banded.select(
+        key, F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("h"))
+            for i in range(bands)])).alias("bh"))
+    buckets = buckets.select(key, "bh.band", "bh.h")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, on=["band", "h"])
+            .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+            .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
+            .distinct())
+
+
+def with_simhash(df: DataFrame, text: str = "text", bits: int = 16,
+                 out: str = "simhash") -> DataFrame:
+    """SimHash over word tokens: sign-sum of per-bit contributions.
+
+    bit_j(doc) = 1 if sum over tokens of (+1 if hash bit set else -1) > 0.
+    Pure array expressions; returns a LONG with `bits` significant bits.
+    """
+    words = F.split(F.lower(F.col(text)), r"\s+")
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        votes = F.aggregate(
+            words, F.lit(0),
+            lambda a, w: a + F.when(
+                F.shiftright(F.xxhash64(w), j % 63).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+        acc = acc + F.when(votes > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out, acc)
+
+
+def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
+                        shingle_k: int = 3, threshold: float = 0.8,
+                        num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard >= threshold, LSH-prefiltered.
+
+    Candidate generation is minhash_lsh_pairs (cheap); the exact Jaccard is
+    verified with array_intersect/array_union on distinct shingle sets —
+    computed only for candidates (R3: cheap prefilter before expensive op).
+    """
+    cands = minhash_lsh_pairs(df, key, text, num_hashes, bands, shingle_k)
+    sh = df.select(F.col(key),
+                   F.array_distinct(_shingles(F.col(text), shingle_k)).alias("sh"))
+    j = (cands.join(sh.withColumnRenamed("sh", "sh_a"), cands.a == sh[key]).drop(key)
+         .join(sh.withColumnRenamed("sh", "sh_b"), cands.b == sh[key]).drop(key))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")) /
+           F.size(F.array_union("sh_a", "sh_b")))
+    return (j.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))

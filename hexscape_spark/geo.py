@@ -1,0 +1,397 @@
+"""NumPy geometry kernel — the engine's vectorized replacement for GEOS.
+
+The container ships no shapely/GEOS, so the geometry primitives the
+reference leans on (st_area / st_centroid / st_intersection / st_distance /
+st_simplify — SURVEY.md §2.7) are implemented here in pure NumPy and invoked
+from Arrow-batched pandas UDFs — never per-row Python on the driver path.
+
+Design constraints that make this tractable and FAST:
+  * hexagons are CONVEX -> hex ∩ anything reduces to Sutherland–Hodgman
+    clipping with the hex as the convex clip window (exact areas);
+  * all reference land-use semantics only need AREAS of intersections
+    (R/generate_patches.R:252-266), not the intersected geometries
+    themselves, so degenerate zero-area bridges S-H can emit are harmless;
+  * border lengths reduce to 1-D measure of a shared hex edge inside a
+    polygon (R/generate_neighbours.R:100-133 computes the same quantity via
+    a buffer-area trick; ours is the exact limit of theirs as buffer->0).
+
+Representation: a *polygon* is ``list[np.ndarray]`` of rings (first = outer,
+rest = holes), rings are open (no repeated last vertex), float64 (N,2).
+A *multipolygon* is ``list[polygon]``.  WKB (little-endian, 2-D) codecs are
+included so geometry travels between JVM and Python as BinaryType columns.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- WKB codecs --------------------------------------------------------------
+
+_WKB_POINT = 1
+_WKB_LINESTRING = 2
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+def ring_to_wkb_coords(ring: np.ndarray) -> bytes:
+    closed = np.vstack([ring, ring[:1]])
+    return struct.pack("<I", len(closed)) + closed.astype("<f8").tobytes()
+
+
+def polygon_to_wkb(polygon: list[np.ndarray]) -> bytes:
+    out = [b"\x01", struct.pack("<I", _WKB_POLYGON), struct.pack("<I", len(polygon))]
+    out += [ring_to_wkb_coords(r) for r in polygon]
+    return b"".join(out)
+
+
+def multipolygon_to_wkb(polys: list[list[np.ndarray]]) -> bytes:
+    out = [b"\x01", struct.pack("<I", _WKB_MULTIPOLYGON), struct.pack("<I", len(polys))]
+    out += [polygon_to_wkb(p) for p in polys]
+    return b"".join(out)
+
+
+def point_to_wkb(x: float, y: float) -> bytes:
+    return b"\x01" + struct.pack("<I", _WKB_POINT) + struct.pack("<dd", x, y)
+
+
+def _read_ring(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    arr = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+    off += 16 * n
+    if n > 1 and arr[0][0] == arr[-1][0] and arr[0][1] == arr[-1][1]:
+        arr = arr[:-1]
+    return np.array(arr, dtype=np.float64), off
+
+
+def _read_polygon(buf: memoryview, off: int) -> tuple[list[np.ndarray], int]:
+    (nr,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    rings = []
+    for _ in range(nr):
+        r, off = _read_ring(buf, off)
+        rings.append(r)
+    return rings, off
+
+
+def wkb_to_geom(wkb: bytes):
+    """Decode WKB -> ('polygon'|'multipolygon'|'point', payload)."""
+    buf = memoryview(wkb)
+    byte_order = buf[0]
+    assert byte_order == 1, "big-endian WKB not supported"
+    (gtype,) = struct.unpack_from("<I", buf, 1)
+    gtype = gtype & 0xFF
+    off = 5
+    if gtype == _WKB_POINT:
+        x, y = struct.unpack_from("<dd", buf, off)
+        return "point", (x, y)
+    if gtype == _WKB_POLYGON:
+        poly, _ = _read_polygon(buf, off)
+        return "polygon", poly
+    if gtype == _WKB_MULTIPOLYGON:
+        (np_,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        polys = []
+        for _ in range(np_):
+            assert buf[off] == 1
+            (t2,) = struct.unpack_from("<I", buf, off + 1)
+            assert (t2 & 0xFF) == _WKB_POLYGON
+            poly, off = _read_polygon(buf, off + 5)
+            polys.append(poly)
+        return "multipolygon", polys
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def wkb_to_polygons(wkb: bytes) -> list[list[np.ndarray]]:
+    """Decode WKB as a list of polygons regardless of poly/multipoly."""
+    kind, payload = wkb_to_geom(wkb)
+    if kind == "polygon":
+        return [payload]
+    if kind == "multipolygon":
+        return payload
+    raise ValueError(f"expected areal geometry, got {kind}")
+
+
+# --- areas / centroids -------------------------------------------------------
+
+def ring_area_signed(ring: np.ndarray) -> float:
+    """Shoelace signed area (CCW positive).  st_area analogue."""
+    if len(ring) < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return 0.5 * float(np.sum(x * y2 - x2 * y))
+
+
+def polygon_area(polygon: list[np.ndarray]) -> float:
+    """abs(outer) - sum(abs(holes)) — reference: R/generate_patches.R:140."""
+    if not polygon:
+        return 0.0
+    a = abs(ring_area_signed(polygon[0]))
+    for hole in polygon[1:]:
+        a -= abs(ring_area_signed(hole))
+    return a
+
+
+def polygons_area(polys: list[list[np.ndarray]]) -> float:
+    return sum(polygon_area(p) for p in polys)
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float, float]:
+    """(cx, cy, signed_area) of one ring (area-weighted)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    a = 0.5 * float(np.sum(cross))
+    if abs(a) < 1e-300:
+        return float(x.mean()), float(y.mean()), 0.0
+    cx = float(np.sum((x + x2) * cross)) / (6.0 * a)
+    cy = float(np.sum((y + y2) * cross)) / (6.0 * a)
+    return cx, cy, a
+
+
+def polygons_centroid(polys: list[list[np.ndarray]]) -> tuple[float, float]:
+    """Area-weighted centroid of a (multi)polygon with holes.
+
+    st_centroid analogue (reference: R/generate_patches.R:377).
+    """
+    sa = 0.0
+    sx = 0.0
+    sy = 0.0
+    for poly in polys:
+        for i, ring in enumerate(poly):
+            cx, cy, a = ring_centroid(ring)
+            w = abs(a) if i == 0 else -abs(a)
+            sa += w
+            sx += cx * w
+            sy += cy * w
+    if sa == 0.0:
+        pts = np.vstack([r for poly in polys for r in poly])
+        return float(pts[:, 0].mean()), float(pts[:, 1].mean())
+    return sx / sa, sy / sa
+
+
+# --- Sutherland–Hodgman convex clipping ---------------------------------------
+
+def ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    return ring if ring_area_signed(ring) >= 0 else ring[::-1]
+
+
+def clip_ring_convex(subject: np.ndarray, clip_ccw: np.ndarray) -> np.ndarray:
+    """Clip an arbitrary ring against a CONVEX CCW ring (Sutherland–Hodgman).
+
+    Output ring may contain zero-area bridges when the true intersection is
+    disconnected — its shoelace AREA is still exact, which is all the
+    land-use rollup needs (reference: R/generate_patches.R:252-266).
+    """
+    out = subject
+    n = len(clip_ccw)
+    for i in range(n):
+        if len(out) == 0:
+            return out
+        a = clip_ccw[i]
+        b = clip_ccw[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        # signed side of each subject vertex vs directed clip edge a->b
+        dx = out[:, 0] - a[0]
+        dy = out[:, 1] - a[1]
+        side = ex * dy - ey * dx          # >=0 -> inside (left of edge)
+        nxt = np.roll(side, -1)
+        pts = []
+        m = len(out)
+        for j in range(m):
+            cur_in = side[j] >= 0.0
+            nxt_in = nxt[j] >= 0.0
+            p = out[j]
+            q = out[(j + 1) % m]
+            if cur_in:
+                pts.append(p)
+            if cur_in != nxt_in:
+                denom = side[j] - nxt[j]
+                t = side[j] / denom if denom != 0.0 else 0.0
+                pts.append(p + t * (q - p))
+        out = np.array(pts, dtype=np.float64) if pts else np.empty((0, 2))
+    return out
+
+
+def clip_polygon_to_convex(polygon: list[np.ndarray], clip_ccw: np.ndarray) -> list[np.ndarray]:
+    """Clip polygon-with-holes to a convex window; returns rings (outer+holes)."""
+    out = []
+    outer = clip_ring_convex(ensure_ccw(polygon[0]), clip_ccw)
+    if len(outer) < 3:
+        return []
+    out.append(outer)
+    for hole in polygon[1:]:
+        h = clip_ring_convex(ensure_ccw(hole), clip_ccw)
+        if len(h) >= 3:
+            out.append(h)
+    return out
+
+
+def area_polygons_in_convex(polys: list[list[np.ndarray]], clip_ccw: np.ndarray) -> float:
+    """Exact area of (multi)polygon ∩ convex window."""
+    total = 0.0
+    for poly in polys:
+        rings = clip_polygon_to_convex(poly, clip_ccw)
+        if rings:
+            total += polygon_area(rings)
+    return total
+
+
+# --- point in polygon ----------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray-cast point-in-ring (boundary counts as inside-ish)."""
+    inside = np.zeros(len(px), dtype=bool)
+    n = len(ring)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    for i in range(n):
+        cond = (y1[i] > py) != (y2[i] > py)
+        if not cond.any():
+            continue
+        xin = (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i] + 0.0) + x1[i]
+        inside ^= cond & (px < xin)
+    return inside
+
+
+def points_in_polygons(px: np.ndarray, py: np.ndarray,
+                       polys: list[list[np.ndarray]]) -> np.ndarray:
+    res = np.zeros(len(px), dtype=bool)
+    for poly in polys:
+        inn = points_in_ring(px, py, poly[0])
+        for hole in poly[1:]:
+            inn &= ~points_in_ring(px, py, hole)
+        res |= inn
+    return res
+
+
+# --- distances -------------------------------------------------------------------
+
+def dist_points_to_segments(px: np.ndarray, py: np.ndarray,
+                            ring: np.ndarray) -> np.ndarray:
+    """Min distance from each point to the ring's boundary segments."""
+    n = len(ring)
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    abx = (b[:, 0] - a[:, 0])[None, :]
+    aby = (b[:, 1] - a[:, 1])[None, :]
+    apx = px[:, None] - a[:, 0][None, :]
+    apy = py[:, None] - a[:, 1][None, :]
+    denom = abx * abx + aby * aby
+    denom = np.where(denom == 0.0, 1.0, denom)
+    t = np.clip((apx * abx + apy * aby) / denom, 0.0, 1.0)
+    dx = apx - t * abx
+    dy = apy - t * aby
+    return np.sqrt((dx * dx + dy * dy).min(axis=1))
+
+
+def dist_points_to_polygons(px: np.ndarray, py: np.ndarray,
+                            polys: list[list[np.ndarray]]) -> np.ndarray:
+    """st_distance(point, areal geometry): 0 inside, else boundary distance.
+
+    Reference usage: centroid prefilter dist < hexhgt/1.9
+    (R/generate_patches.R:117-122).
+    """
+    d = np.full(len(px), np.inf)
+    for poly in polys:
+        for ring in poly:
+            d = np.minimum(d, dist_points_to_segments(px, py, ring))
+    d[points_in_polygons(px, py, polys)] = 0.0
+    return d
+
+
+# --- segment ∩ polygon 1-D measure (border lengths) -------------------------------
+
+def segment_length_in_polygons(p0: np.ndarray, p1: np.ndarray,
+                               polys: list[list[np.ndarray]]) -> float:
+    """Length of the part of segment p0-p1 lying inside the (multi)polygon.
+
+    Exact replacement for the reference's buffered-intersection border
+    estimate  Border = area(buffer(g1) ∩ buffer(g2)) / (2*buffer_dist)
+    (R/generate_neighbours.R:100-133): as buffer_dist -> 0 that quantity
+    converges to the shared-edge length computed here.
+    """
+    seg = p1 - p0
+    seg_len = float(np.hypot(*seg))
+    if seg_len == 0.0:
+        return 0.0
+    ts = [0.0, 1.0]
+    for poly in polys:
+        for ring in poly:
+            a = ring
+            b = np.roll(ring, -1, axis=0)
+            rx = b[:, 0] - a[:, 0]
+            ry = b[:, 1] - a[:, 1]
+            denom = seg[0] * ry - seg[1] * rx
+            qpx = a[:, 0] - p0[0]
+            qpy = a[:, 1] - p0[1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(denom != 0.0, (qpx * ry - qpy * rx) / denom, -1.0)
+                u = np.where(denom != 0.0, (qpx * seg[1] - qpy * seg[0]) / denom, -1.0)
+            mask = (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+            ts.extend(t[mask].tolist())
+    ts = sorted(set(ts))
+    total = 0.0
+    for i in range(len(ts) - 1):
+        mid = 0.5 * (ts[i] + ts[i + 1])
+        mx = np.array([p0[0] + mid * seg[0]])
+        my = np.array([p0[1] + mid * seg[1]])
+        if points_in_polygons(mx, my, polys)[0]:
+            total += (ts[i + 1] - ts[i]) * seg_len
+    return total
+
+
+# --- simplification -----------------------------------------------------------------
+
+def douglas_peucker(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """DP simplify an open ring (kept closed logically).
+
+    Reference pins method="dp" in ms_simplify (R/extract_corine.R:273); the
+    keep-ratio knob becomes a tolerance here (SURVEY.md §7.3 item 2).
+    """
+    if len(ring) <= 4 or tolerance <= 0:
+        return ring
+    pts = np.vstack([ring, ring[:1]])
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = pts[i1] - pts[i0]
+        seg_len = np.hypot(*seg)
+        sub = pts[i0 + 1:i1]
+        if seg_len == 0.0:
+            d = np.hypot(sub[:, 0] - pts[i0][0], sub[:, 1] - pts[i0][1])
+        else:
+            d = np.abs(seg[0] * (sub[:, 1] - pts[i0][1]) - seg[1] * (sub[:, 0] - pts[i0][0])) / seg_len
+        jmax = int(np.argmax(d))
+        if d[jmax] > tolerance:
+            j = i0 + 1 + jmax
+            keep[j] = True
+            stack.extend([(i0, j), (j, i1)])
+    out = pts[keep][:-1]
+    return out if len(out) >= 3 else ring
+
+
+# --- bounds -----------------------------------------------------------------------
+
+def polygons_bounds(polys: list[list[np.ndarray]]) -> tuple[float, float, float, float]:
+    pts = np.vstack([poly[0] for poly in polys])
+    return (float(pts[:, 0].min()), float(pts[:, 1].min()),
+            float(pts[:, 0].max()), float(pts[:, 1].max()))
+
+
+# --- convenience: rectangles ---------------------------------------------------------
+
+def rect_ring(minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:
+    return np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]],
+                    dtype=np.float64)
+
+
+def rect_wkb(minx: float, miny: float, maxx: float, maxy: float) -> bytes:
+    return polygon_to_wkb([rect_ring(minx, miny, maxx, maxy)])

@@ -1,0 +1,47 @@
+"""Scalable global dense indexing.
+
+The reference assigns patch Index as a dense 1..n over the total order
+(is.na(Index), q, r) (R/generate_patches.R:200-201).  A naive
+``row_number() OVER (ORDER BY q, r)`` collapses to a single partition — fine
+at 10^4 rows, fatal at 10^9.  This helper gets the identical numbering with
+a range-partitioned sort + per-partition offsets (two light jobs, no
+single-partition shuffle): the standard zipWithIndex pattern expressed on
+DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dense_index(df: DataFrame, order_cols: list[str], out: str = "Index",
+                start: int = 1) -> DataFrame:
+    """Add a dense global index following the total order of `order_cols`.
+
+    Equivalent to row_number() over a global window, but scalable: rows are
+    range-partitioned by the sort key, numbered within partitions, and
+    shifted by the exclusive prefix-sum of partition counts (collected to
+    the driver — one long per partition).
+    """
+    sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    spark = sorted_df.sparkSession
+    sdf = sorted_df.withColumn("__pid", F.spark_partition_id())
+    # cache so the counts job and the numbering job see the same partitioning
+    sdf = sdf.persist()
+    counts = {row["__pid"]: row["cnt"] for row in
+              sdf.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offmap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]) \
+        if offsets else F.create_map()
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window \
+        .partitionBy("__pid").orderBy(*order_cols)
+    out_df = (sdf
+              .withColumn("__rn", F.row_number().over(w) - F.lit(1))
+              .withColumn(out, (offmap[F.col("__pid")] + F.col("__rn")).cast("long"))
+              .drop("__pid", "__rn"))
+    return out_df

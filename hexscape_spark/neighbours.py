@@ -1,0 +1,117 @@
+"""Patch adjacency graph — neighbours with border lengths and directions.
+
+Spark-first reimplementation of generate_neighbours
+(R/generate_neighbours.R:8-179):
+
+  * candidate enumeration = the 6 axial offsets cross-joined and
+    equi-joined back on (q, r) — never an N² spatial join
+    (R/generate_neighbours.R:57-72; optimisation R5 in SURVEY.md §4);
+  * fast path: both patches "complete" (area > (1-min_prop)*hexarea) ->
+    Border = hex side length exactly, zero geometry work
+    (R/generate_neighbours.R:86-93; optimisation R4);
+  * slow path: Border = length of the shared hex edge inside the landscape,
+    the exact buffer->0 limit of the reference's
+    area(buffer∩buffer)/(2*buffer) estimate (R/generate_neighbours.R:100-133);
+  * Direction from the (dq, dr) offset — exact, since hex centroids are a
+    pure function of (q, r) (R/generate_neighbours.R:146-157);
+  * final filter Border > min_prop * hexlth (R/generate_neighbours.R:132).
+
+Output: Index, Neighbour, Border, Direction, nb_area  — the reference's
+"neighbours" table (R/generate_neighbours.R:146-159,174).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import geo
+from . import params as P
+from .hexgrid import NEIGHBOUR_OFFSETS, offsets_df
+
+# Shared-edge vertex offsets (relative to the centroid of the *source* hex)
+# for each direction, pointy-top orientation, y-down r axis.
+def _edge_offsets(w: float) -> dict[str, tuple[tuple[float, float], tuple[float, float]]]:
+    h = 2.0 * w / np.sqrt(3.0)
+    s = h / 2.0
+    return {
+        "E":  ((w / 2, s / 2), (w / 2, -s / 2)),
+        "W":  ((-w / 2, s / 2), (-w / 2, -s / 2)),
+        "NE": ((0.0, h / 2), (w / 2, s / 2)),
+        "NW": ((-w / 2, s / 2), (0.0, h / 2)),
+        "SE": ((w / 2, -s / 2), (0.0, -h / 2)),
+        "SW": ((0.0, -h / 2), (-w / 2, -s / 2)),
+    }
+
+
+def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
+                        hex_width: float = P.HEX_WIDTH,
+                        min_prop: float = 0.01,
+                        calculate_border: bool = True) -> DataFrame:
+    """patches: needs Index, q, r, area, hex_cx, hex_cy."""
+    spark = patches.sparkSession
+    hexarea = P.hex_area(hex_width)
+    hexlth = P.hex_side(hex_width)
+
+    base = patches.select("Index", "q", "r", "area", "hex_cx", "hex_cy")
+    offs = F.broadcast(offsets_df(spark))
+
+    shifted = (base.crossJoin(offs)
+               .select((F.col("q") + F.col("dq")).alias("q"),
+                       (F.col("r") + F.col("dr")).alias("r"),
+                       F.col("Index").alias("Neighbour"),
+                       F.col("area").alias("nb_area"),
+                       F.col("direction").alias("_rev_dir")))
+    # direction seen FROM the source patch = opposite of the shift we applied
+    flip = {"NE": "SW", "SW": "NE", "NW": "SE", "SE": "NW", "E": "W", "W": "E"}
+    flip_expr = F.create_map(*[F.lit(x) for kv in flip.items() for x in kv])
+    edges = (base.join(shifted, on=["q", "r"], how="inner")
+             .where(F.col("Index") != F.col("Neighbour"))
+             .withColumn("Direction", flip_expr[F.col("_rev_dir")])
+             .drop("_rev_dir"))
+
+    if not calculate_border:
+        return edges.select("Index", "Neighbour",
+                            F.lit(None).cast("double").alias("Border"),
+                            "Direction", "nb_area")
+
+    complete = (F.col("area") > (1.0 - min_prop) * hexarea) & \
+               (F.col("nb_area") > (1.0 - min_prop) * hexarea)
+    fast = edges.where(complete).withColumn("Border", F.lit(float(hexlth)))
+
+    slow_in = edges.where(~complete)
+    ls_bytes = landscape_wkb
+    w_ = hex_width
+    schema = ("Index LONG, Neighbour LONG, Border DOUBLE, Direction STRING, "
+              "nb_area DOUBLE")
+
+    def border_lengths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ls = geo.wkb_to_polygons(ls_bytes)
+        eo = _edge_offsets(w_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            borders = np.zeros(len(pdf))
+            cx = pdf["hex_cx"].to_numpy()
+            cy = pdf["hex_cy"].to_numpy()
+            dirs = pdf["Direction"].to_numpy()
+            for i in range(len(pdf)):
+                (ax, ay), (bx, by) = eo[dirs[i]]
+                p0 = np.array([cx[i] + ax, cy[i] + ay])
+                p1 = np.array([cx[i] + bx, cy[i] + by])
+                borders[i] = geo.segment_length_in_polygons(p0, p1, ls)
+            out = pdf[["Index", "Neighbour"]].copy()
+            out["Border"] = borders
+            out["Direction"] = pdf["Direction"].to_numpy()
+            out["nb_area"] = pdf["nb_area"].to_numpy()
+            yield out
+
+    slow = slow_in.mapInPandas(border_lengths, schema=schema)
+
+    cols = ["Index", "Neighbour", "Border", "Direction", "nb_area"]
+    return (fast.select(*cols).unionByName(slow.select(*cols))
+            .where(F.col("Border") > min_prop * hexlth))

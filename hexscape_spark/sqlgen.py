@@ -1,0 +1,152 @@
+"""Shared SQL generator — single source of truth for hex/geocode arithmetic.
+
+Every expression emitted here is plain ANSI SQL that parses identically in
+Spark SQL (where Catalyst optimizes it into whole-stage-codegen JVM
+expressions — no Python in the hot path) and in DuckDB (the driver's
+correctness oracle).  Emitting ONE string for BOTH engines guarantees the
+Spark plan and the oracle can never drift, and float constants are embedded
+as pre-computed Python ``repr`` literals so both engines parse the exact
+same IEEE-754 doubles.
+
+The axial hex math follows the reference bit-for-bit:
+  * centroid(q,r): x = refx + r*w/2 + q*w ; y = refy - r*(side+height)/2
+    (reference: R/generate_patches.R:114-115)
+  * point->cell: inverse lattice transform + cube rounding (the standard
+    pixel-to-hex algorithm for the same pointy-top axial grid the reference
+    uses, cf. R/generate_patches.R:85-86 citing redblobgames axial storage).
+
+Only constructs shared by both dialects are used: arithmetic, ``%`` on
+BIGINT, CASE WHEN, ROUND(x), ABS, CAST(... AS BIGINT), window functions.
+NOTE: bare FLOOR is avoided (BIGINT in Spark vs DOUBLE in DuckDB).
+"""
+
+from __future__ import annotations
+
+from . import params as P
+
+
+def _f(x: float) -> str:
+    """Embed a python float as an exact DOUBLE literal for both parsers.
+
+    Spark SQL parses plain decimal-point literals (``3000.0``) as DECIMAL,
+    which silently switches the arithmetic to fixed-point and breaks IEEE
+    parity with DuckDB.  Exponent-notation literals (``3000.0E0``) are
+    DOUBLE in both dialects.
+    """
+    s = repr(float(x))
+    if "e" in s or "E" in s or "inf" in s or "nan" in s:
+        return s
+    return s + "E0"
+
+
+# ---------------------------------------------------------------------------
+# Layered query builder: each layer is a list of (alias, expr) added via
+# SELECT *, expr AS alias FROM (prev).  Aliases of earlier layers are usable.
+# ---------------------------------------------------------------------------
+
+def build_query(base: str, layers: list[list[tuple[str, str]]],
+                select: str = "*", where: str | None = None,
+                final: str | None = None) -> str:
+    q = base if " " not in base.strip() else f"({base})"
+    for layer in layers:
+        cols = ", ".join(f"{expr} AS {alias}" for alias, expr in layer)
+        q = f"(SELECT *, {cols} FROM {q} AS _t)"
+    w = f" WHERE {where}" if where else ""
+    sql = f"SELECT {select} FROM {q} AS _q{w}"
+    if final:
+        sql = f"SELECT {final} FROM ({sql}) AS _fin"
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# Deterministic geocoder (FIXTURES.md F1): integer key -> (lon, lat)
+# ---------------------------------------------------------------------------
+
+def geocode_layers(key: str) -> list[list[tuple[str, str]]]:
+    """Layers that add lon/lat columns derived from integer column `key`."""
+    w = P.MAXX - P.MINX
+    h = P.MAXY - P.MINY
+    hx = (f"CASE WHEN ({key}) % 3 = 0 THEN {_f(P.HOTSPOTS[0][0])} "
+          f"WHEN ({key}) % 3 = 1 THEN {_f(P.HOTSPOTS[1][0])} "
+          f"ELSE {_f(P.HOTSPOTS[2][0])} END")
+    hy = (f"CASE WHEN ({key}) % 3 = 0 THEN {_f(P.HOTSPOTS[0][1])} "
+          f"WHEN ({key}) % 3 = 1 THEN {_f(P.HOTSPOTS[1][1])} "
+          f"ELSE {_f(P.HOTSPOTS[2][1])} END")
+    return [
+        [("u1", f"(({key}) * {P.LCG_A}) % {P.LCG_M}")],
+        [("u2", f"(u1 * {P.LCG_A}) % {P.LCG_M}"),
+         ("r1", f"u1 / {_f(P.LCG_M)}")],
+        [("r2", f"u2 / {_f(P.LCG_M)}")],
+        [("lon", f"CASE WHEN ({key}) % 10 < 2 THEN {hx} + (r1 - {_f(0.5)}) * {_f(2 * P.HOT_HALF)} "
+                 f"ELSE {_f(P.MINX)} + r1 * {_f(w)} END"),
+         ("lat", f"CASE WHEN ({key}) % 10 < 2 THEN {hy} + (r2 - {_f(0.5)}) * {_f(2 * P.HOT_HALF)} "
+                 f"ELSE {_f(P.MINY)} + r2 * {_f(h)} END")],
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Point -> axial hex cell (cube rounding), centroid, packing
+# ---------------------------------------------------------------------------
+
+def hex_layers(lon: str = "lon", lat: str = "lat",
+               hex_width: float = P.HEX_WIDTH,
+               refx: float = P.REFX, refy: float = P.REFY) -> list[list[tuple[str, str]]]:
+    size = P.hex_side(hex_width)          # = height/2
+    return [
+        [("rf", f"(({_f(refy)}) - ({lat})) / {_f(1.5 * size)}")],
+        [("qf", f"(({lon}) - ({_f(refx)})) / {_f(hex_width)} - rf / 2")],
+        [("sf", "-qf - rf")],
+        [("qg", "ROUND(qf)"), ("rg", "ROUND(rf)"), ("sg", "ROUND(sf)")],
+        [("dq", "ABS(qg - qf)"), ("dr", "ABS(rg - rf)"), ("ds", "ABS(sg - sf)")],
+        [("q", "CAST(CASE WHEN dq > dr AND dq > ds THEN -rg - sg ELSE qg END AS BIGINT)"),
+         ("r", "CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -qg - sg ELSE rg END AS BIGINT)")],
+        [("cell_id", cell_id_expr("q", "r"))],
+    ]
+
+
+def cell_id_expr(q: str = "q", r: str = "r") -> str:
+    return f"(({q}) + {P.CELL_OFF}) * {P.CELL_MUL} + (({r}) + {P.CELL_OFF})"
+
+
+def centroid_exprs(q: str = "q", r: str = "r",
+                   hex_width: float = P.HEX_WIDTH,
+                   refx: float = P.REFX, refy: float = P.REFY) -> tuple[str, str]:
+    """(q,r) -> hex centroid, exactly R/generate_patches.R:114-115."""
+    h = P.hex_height(hex_width)
+    s = P.hex_side(hex_width)
+    cx = f"{_f(refx)} + ({r}) * {_f(hex_width / 2.0)} + ({q}) * {_f(hex_width)}"
+    cy = f"{_f(refy)} - ({r}) * {_f((s + h) / 2.0)}"
+    return cx, cy
+
+
+def hex_distance_expr(q1: str, r1: str, q2: str, r2: str) -> str:
+    """Axial hex (kRing) distance: (|dq|+|dr|+|dq+dr|)/2, BIGINT."""
+    dq = f"(({q1}) - ({q2}))"
+    dr = f"(({r1}) - ({r2}))"
+    return f"CAST((ABS({dq}) + ABS({dr}) + ABS({dq} + {dr})) / 2 AS BIGINT)"
+
+
+def dist_point_to_rect_expr(x: str, y: str, minx: float, miny: float,
+                            maxx: float, maxy: float) -> str:
+    """Euclidean distance from a point to an axis-aligned rectangle (0 inside).
+
+    Used as the SQL-expressible oracle for the reference's
+    "distance to landscape < hexhgt/1.9" centroid filter
+    (reference: R/generate_patches.R:103-122) on rectangular landscapes.
+    """
+    dx = f"CASE WHEN ({x}) < {_f(minx)} THEN {_f(minx)} - ({x}) WHEN ({x}) > {_f(maxx)} THEN ({x}) - {_f(maxx)} ELSE {_f(0.0)} END"
+    dy = f"CASE WHEN ({y}) < {_f(miny)} THEN {_f(miny)} - ({y}) WHEN ({y}) > {_f(maxy)} THEN ({y}) - {_f(maxy)} ELSE {_f(0.0)} END"
+    return f"SQRT(({dx}) * ({dx}) + ({dy}) * ({dy}))"
+
+
+# ---------------------------------------------------------------------------
+# Whole geocode+assign query over a table with an integer key
+# ---------------------------------------------------------------------------
+
+def assign_sql(table: str, key: str, keep: list[str] | None = None,
+               hex_width: float = P.HEX_WIDTH) -> str:
+    """Full query: geocode `key` -> lon/lat -> (q, r, cell_id)."""
+    keep = keep or []
+    cols = ", ".join([key, *keep, "lon", "lat", "q", "r", "cell_id"])
+    layers = geocode_layers(key) + hex_layers("lon", "lat", hex_width)
+    return build_query(table, layers, select=cols)

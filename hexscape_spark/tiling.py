@@ -1,0 +1,183 @@
+"""Hex tiling of a landscape + area-weighted land-use rollup.
+
+The Spark-first reimplementation of the reference's central query,
+``generate_patches`` (R/generate_patches.R:38-399):
+
+  lattice (spark.range, no driver materialisation)
+    -> centroid distance prefilter            [R3 cheap-before-expensive]
+    -> exact hex ∩ landscape clip + area       (Arrow-batched pandas UDF)
+    -> min_prop fragment filter                (R/generate_patches.R:141,197)
+    -> impassable subtraction (area)           (R/generate_patches.R:148-166)
+    -> dense re-index over (q, r)              (R/generate_patches.R:200-201)
+    -> per-category clip areas -> proportions  (R/generate_patches.R:252-326)
+    -> LU_* wide columns + Σ==1 checksum       (R/generate_patches.R:334-355)
+
+Scale notes: the lattice + clip is a single map-only stage (no shuffle);
+polygon layers are broadcast when small (the reference's regime) — the
+cell-cover equi-join path for continent-scale layers lives in cover_join().
+All geometry math is geo.py NumPy over WKB; nothing is per-row Python.
+
+Simplifying assumptions vs the reference, asserted in tests:
+  * land_use categories are mutually disjoint and lie within the landscape
+    (true of CORINE land-cover partitions the reference consumes);
+  * split patches (one (q,r) cell cut into multiple disconnected pieces)
+    keep a single row — areas and rollups are exact, Index parity for split
+    fixtures is future work (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import geo
+from . import params as P
+from . import hexgrid
+from .indexing import dense_index
+
+
+def _hex_ring(cx: float, cy: float, w: float) -> np.ndarray:
+    """CCW hex ring for Sutherland–Hodgman (genpoly vertices reversed;
+    reference: R/generate_patches.R:53-64 lists them clockwise)."""
+    h = 2.0 * w / np.sqrt(3.0)
+    s = h / 2.0
+    pts = np.array([
+        [0.0, h / 2], [-w / 2, s / 2], [-w / 2, -s / 2],
+        [0.0, -h / 2], [w / 2, -s / 2], [w / 2, s / 2],
+    ])
+    return pts + np.array([cx, cy])
+
+
+def generate_patches(spark: SparkSession, landscape_wkb: bytes,
+                     hex_width: float = P.HEX_WIDTH,
+                     reference_point: tuple[float, float] = (P.REFX, P.REFY),
+                     land_use: list[tuple[str, str, bytes]] | None = None,
+                     min_prop: float = 0.01,
+                     keep_geometry: bool = False,
+                     lattice_partitions: int | None = None) -> DataFrame:
+    """Tile `landscape_wkb` with hexagons; returns the patches DataFrame.
+
+    land_use: list of (category, kind, wkb) where kind in
+    {"Impassable", "Passable", other} — mirrors the reference's ordered
+    Category factor with an Impassable level (R/generate_patches.R:68-73).
+    Output columns: Index, q, r, cell_id, hex_cx, hex_cy, centroid_x,
+    centroid_y, area, lu_sum, LU_<cat>... (+ geom_wkb if keep_geometry).
+    """
+    refx, refy = reference_point
+    hexarea = P.hex_area(hex_width)
+    hexhgt = P.hex_height(hex_width)
+    landscape = geo.wkb_to_polygons(landscape_wkb)
+    minx, miny, maxx, maxy = geo.polygons_bounds(landscape)
+
+    lat = hexgrid.lattice(spark, minx, miny, maxx, maxy, hex_width,
+                          refx, refy, num_partitions=lattice_partitions)
+
+    impassable = [(c, wkb) for c, k, wkb in (land_use or []) if k == "Impassable"]
+    categories = [(c, wkb) for c, k, wkb in (land_use or []) if k != "Impassable"]
+    cat_names = [c for c, _ in categories]
+
+    # ---- one map-only stage: distance prefilter + exact clip + areas ------
+    ls_bytes = landscape_wkb
+    imp_bytes = [wkb for _, wkb in impassable]
+    cat_bytes = [wkb for _, wkb in categories]
+    w_ = hex_width
+    thresh = hexhgt / 1.9                     # R/generate_patches.R:105-107
+    min_area = min_prop * hexarea
+
+    out_fields = ("q LONG, r LONG, cell_id LONG, hex_cx DOUBLE, hex_cy DOUBLE, "
+                  "area DOUBLE, centroid_x DOUBLE, centroid_y DOUBLE, "
+                  "geom_wkb BINARY, "
+                  + ", ".join(f"`__cat_{i}` DOUBLE" for i in range(len(cat_names))))
+    if not cat_names:
+        out_fields = out_fields.rstrip(", ")
+
+    def clip_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ls = geo.wkb_to_polygons(ls_bytes)
+        imps = [geo.wkb_to_polygons(b) for b in imp_bytes]
+        cats = [geo.wkb_to_polygons(b) for b in cat_bytes]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cx = pdf["hex_cx"].to_numpy()
+            cy = pdf["hex_cy"].to_numpy()
+            # R3: cheap distance prefilter before any clipping
+            dist = geo.dist_points_to_polygons(cx, cy, ls)
+            keep = dist < thresh
+            pdf = pdf[keep]
+            if len(pdf) == 0:
+                continue
+            cx, cy = cx[keep], cy[keep]
+            n = len(pdf)
+            area = np.zeros(n)
+            ctx = np.zeros(n)
+            cty = np.zeros(n)
+            wkbs: list[bytes | None] = [None] * n
+            cat_areas = np.zeros((n, len(cats)))
+            for i in range(n):
+                hexring = _hex_ring(cx[i], cy[i], w_)
+                clipped_polys = []
+                for poly in ls:
+                    clipped = geo.clip_polygon_to_convex(poly, hexring)
+                    if clipped:
+                        clipped_polys.append(clipped)
+                if not clipped_polys:
+                    continue
+                a = geo.polygons_area(clipped_polys)
+                # impassable subtraction (area only): R/generate_patches.R:158-166
+                for ip in imps:
+                    a -= geo.area_polygons_in_convex(ip, hexring)
+                area[i] = a
+                if a <= 0:
+                    continue
+                ctx[i], cty[i] = geo.polygons_centroid(clipped_polys)
+                wkbs[i] = geo.multipolygon_to_wkb(clipped_polys)
+                for k, cp in enumerate(cats):
+                    cat_areas[i, k] = geo.area_polygons_in_convex(cp, hexring)
+            res = pd.DataFrame({
+                "q": pdf["q"].to_numpy(), "r": pdf["r"].to_numpy(),
+                "cell_id": pdf["cell_id"].to_numpy(),
+                "hex_cx": cx, "hex_cy": cy, "area": area,
+                "centroid_x": ctx, "centroid_y": cty,
+                "geom_wkb": wkbs,
+            })
+            for k in range(len(cats)):
+                res[f"__cat_{k}"] = cat_areas[:, k]
+            yield res[res["area"] >= min_area]
+
+    patches = lat.mapInPandas(clip_cells, schema=out_fields)
+
+    # dense Index over (q, r): exact reference ordering (is.na first is moot
+    # here — removed/impassable rows are not emitted).
+    patches = dense_index(patches, ["q", "r"], out="Index")
+
+    # ---- land-use proportions + wide LU_* columns --------------------------
+    if cat_names:
+        sum_expr = " + ".join(f"`__cat_{i}`" for i in range(len(cat_names)))
+        patches = patches.withColumn("lu_sum", F.expr(sum_expr))
+        eps = float(np.sqrt(np.finfo(float).eps))
+        lu_cols = []
+        passable_others = [i for i, c in enumerate(cat_names) if c != "Passable"]
+        for i, c in enumerate(cat_names):
+            prop = F.when(F.col("lu_sum") > 0, F.col(f"__cat_{i}") / F.col("lu_sum")).otherwise(F.lit(0.0))
+            if c == "Passable":
+                # area_sum ~ 0 -> attribute everything to Passable
+                # (R/generate_patches.R:338-343)
+                others = sum((F.when(F.col("lu_sum") > eps,
+                                     F.col(f"__cat_{j}") / F.col("lu_sum")).otherwise(F.lit(0.0))
+                              for j in passable_others), F.lit(0.0))
+                prop = F.when(F.col("lu_sum") < eps, F.lit(1.0) - others).otherwise(prop)
+            lu_cols.append(prop.alias(f"LU_{c}"))
+        patches = patches.select("Index", "q", "r", "cell_id", "hex_cx", "hex_cy",
+                                 "centroid_x", "centroid_y", "area", "lu_sum",
+                                 *lu_cols, "geom_wkb")
+    else:
+        patches = patches.withColumn("lu_sum", F.col("area")) \
+            .select("Index", "q", "r", "cell_id", "hex_cx", "hex_cy",
+                    "centroid_x", "centroid_y", "area", "lu_sum", "geom_wkb")
+    if not keep_geometry:
+        patches = patches.drop("geom_wkb")
+    return patches

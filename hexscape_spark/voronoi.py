@@ -1,0 +1,249 @@
+"""Voronoi discretisation, in-polygon sampling, and point anonymisation.
+
+Spark-first reimplementations of the reference's Voronoi family:
+
+  * discretise_voronoi (R/discretise_voronoi.R:12-49): each seed's Voronoi
+    cell is the intersection of half-planes against every other seed —
+    CONVEX, so it composes with the engine's convex clipper.  Cells are
+    computed independently per seed in an Arrow-batched pandas UDF with the
+    (small, broadcast) seed set; no global tessellation structure is needed,
+    which sidesteps the partition-locality problem flagged in SURVEY §7.3.
+    A kd-free pruning bound (2 * dist to nearest seed + envelope diagonal
+    guard) keeps the half-plane loop short for clustered seeds.
+  * sample_points (R/sample_points.R:12-74): seeded per-polygon rejection
+    sampling in the polygon bbox; exactly `size` points per polygon,
+    deterministic under retries (rng seeded by hash(seed, Index)).
+  * randomise_voronoi (R/randomise_voronoi.R:38-251): rank-distance kNN
+    candidate sets (W1 random-tie ranks, seeded), per-cell sample pools,
+    then the reference's inherently-sequential no-replacement weighted
+    assignment — run driver-side over the collected bounded candidate table
+    exactly as flagged in SURVEY §3.3/§7.3 item 4.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import geo
+
+
+# ---------------------------------------------------------------------------
+# Voronoi cells via half-plane clipping (exact, convex)
+# ---------------------------------------------------------------------------
+
+def _halfplane_clip(ring: np.ndarray, p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Clip convex ring to the half-plane of points closer to p than to q."""
+    mid = 0.5 * (p + q)
+    d = q - p                      # keep x with dot(x - mid, d) <= 0
+    s = (ring[:, 0] - mid[0]) * d[0] + (ring[:, 1] - mid[1]) * d[1]
+    nxt = np.roll(s, -1)
+    pts = []
+    m = len(ring)
+    for j in range(m):
+        cur_in = s[j] <= 0.0
+        nxt_in = nxt[j] <= 0.0
+        if cur_in:
+            pts.append(ring[j])
+        if cur_in != nxt_in:
+            denom = s[j] - nxt[j]
+            t = s[j] / denom if denom != 0.0 else 0.0
+            pts.append(ring[j] + t * (ring[(j + 1) % m] - ring[j]))
+    return np.array(pts) if pts else np.empty((0, 2))
+
+
+def voronoi_cell(i: int, pts: np.ndarray, envelope: np.ndarray) -> np.ndarray:
+    """Convex Voronoi cell of pts[i] within a convex envelope ring."""
+    cell = envelope
+    p = pts[i]
+    d2 = (pts[:, 0] - p[0]) ** 2 + (pts[:, 1] - p[1]) ** 2
+    order = np.argsort(d2)
+    for j in order:
+        if j == i or len(cell) < 3:
+            continue
+        # prune: if the bisector of p,pts[j] cannot cut the current cell
+        # (all cell vertices strictly closer to p), skip the clip
+        far = np.max((cell[:, 0] - p[0]) ** 2 + (cell[:, 1] - p[1]) ** 2)
+        if d2[j] > 4.0 * far:
+            break                 # sorted by distance: no later seed can cut
+        cell = _halfplane_clip(cell, p, pts[j])
+    return cell
+
+
+def discretise_voronoi(spark: SparkSession, map_wkb: bytes,
+                       points: DataFrame,
+                       idx: str = "Index", x: str = "x", y: str = "y",
+                       keep_geometry: bool = True) -> DataFrame:
+    """Voronoi cells of `points` clipped to the map (R/discretise_voronoi.R).
+
+    Output: Index, x, y, Area (map units²), centroid_x, centroid_y
+    [, geom_wkb].  Every input point is inside its own cell by construction
+    (the reference asserts this via st_intersects, :28-31).
+    """
+    pts_pd = points.select(idx, x, y).toPandas()
+    seed_xy = pts_pd[[x, y]].to_numpy(dtype=np.float64)
+    map_polys = geo.wkb_to_polygons(map_wkb)
+    minx, miny, maxx, maxy = geo.polygons_bounds(map_polys)
+    envelope = geo.rect_ring(minx, miny, maxx, maxy)
+    map_bytes = map_wkb
+
+    schema = (f"{idx} LONG, {x} DOUBLE, {y} DOUBLE, Area DOUBLE, "
+              "centroid_x DOUBLE, centroid_y DOUBLE, geom_wkb BINARY")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        polys = geo.wkb_to_polygons(map_bytes)
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["__i"])
+                cell = voronoi_cell(i, seed_xy, envelope)
+                # clip the map to the convex cell (cell is the clip window)
+                clipped = [geo.clip_polygon_to_convex(poly, geo.ensure_ccw(cell))
+                           for poly in polys]
+                clipped = [c for c in clipped if c]
+                area = geo.polygons_area(clipped)
+                if clipped:
+                    cx, cy = geo.polygons_centroid(clipped)
+                    wkb = geo.multipolygon_to_wkb(clipped)
+                else:
+                    cx, cy, wkb = float("nan"), float("nan"), None
+                rows.append((int(row[idx]), float(row[x]), float(row[y]),
+                             area, cx, cy, wkb))
+            yield pd.DataFrame(rows, columns=[idx, x, y, "Area",
+                                              "centroid_x", "centroid_y",
+                                              "geom_wkb"])
+
+    src = spark.createDataFrame(
+        pts_pd.assign(__i=np.arange(len(pts_pd))),
+        schema=f"{idx} LONG, {x} DOUBLE, {y} DOUBLE, __i LONG")
+    out = src.repartition(max(2, spark.sparkContext.defaultParallelism)) \
+        .mapInPandas(build, schema=schema)
+    return out if keep_geometry else out.drop("geom_wkb")
+
+
+# ---------------------------------------------------------------------------
+# Seeded in-polygon sampling
+# ---------------------------------------------------------------------------
+
+def sample_points(patches: DataFrame, size: int = 1, seed: int = 42,
+                  idx: str = "Index", geom: str = "geom_wkb",
+                  max_tries: int = 10000) -> DataFrame:
+    """Exactly `size` uniform points per polygon (R/sample_points.R:12-74).
+
+    Rejection sampling in each polygon's bbox with a deterministic RNG per
+    (seed, Index) — stable under task retries/speculation (SURVEY §7.3.7).
+    """
+    schema = f"{idx} LONG, sample_n INT, px DOUBLE, py DOUBLE"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                polys = geo.wkb_to_polygons(bytes(row[geom]))
+                bx0, by0, bx1, by1 = geo.polygons_bounds(polys)
+                rng = np.random.RandomState((seed * 1000003 + int(row[idx])) % (2**31))
+                got = 0
+                tries = 0
+                while got < size and tries < max_tries:
+                    m = max(64, 4 * (size - got))
+                    xs = rng.uniform(bx0, bx1, m)
+                    ys = rng.uniform(by0, by1, m)
+                    ok = geo.points_in_polygons(xs, ys, polys)
+                    for j in np.nonzero(ok)[0]:
+                        if got >= size:
+                            break
+                        rows.append((int(row[idx]), got, float(xs[j]), float(ys[j])))
+                        got += 1
+                    tries += 1
+                if got < size:
+                    raise RuntimeError(
+                        f"sample_points: polygon {row[idx]} produced {got}/{size}")
+            yield pd.DataFrame(rows, columns=[idx, "sample_n", "px", "py"])
+
+    return patches.select(idx, geom).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# randomise_voronoi
+# ---------------------------------------------------------------------------
+
+def randomise_voronoi(spark: SparkSession, map_wkb: bytes, points: DataFrame,
+                      randomise_size: int = 5,
+                      sample_probs: tuple[float, ...] = (0.1, 0.01, 0.001),
+                      seed: int = 42, max_tries: int = 3,
+                      idx: str = "Index", x: str = "x", y: str = "y") -> DataFrame:
+    """Anonymise point locations by resampling within the k nearest Voronoi
+    cells (R/randomise_voronoi.R:38-251, defaults from_type='point',
+    to_type='centroid', mask_landscape=FALSE).
+
+    Distributed parts: Voronoi cells + per-cell sample pools (pandas UDF
+    stages).  The no-replacement weighted assignment is order-dependent by
+    construction (each pick consumes a sample) and runs driver-side over the
+    bounded collected candidate table (n_points x sample_size rows),
+    seeded — exactly the concession the reference's own loop makes
+    (R/randomise_voronoi.R:199-227, SURVEY §7.3 item 4).
+    """
+    sample_size = len(sample_probs)
+    vor = discretise_voronoi(spark, map_wkb, points, idx=idx, x=x, y=y)
+    vor_pd = vor.select(idx, x, y, "centroid_x", "centroid_y").toPandas() \
+        .sort_values(idx).reset_index(drop=True)
+    n = len(vor_pd)
+
+    # rank-distance candidate sets (W1: ties broken by seeded randomness)
+    fx = vor_pd[x].to_numpy()
+    fy = vor_pd[y].to_numpy()
+    tx = vor_pd["centroid_x"].to_numpy()
+    ty = vor_pd["centroid_y"].to_numpy()
+    dist = np.hypot(fx[:, None] - tx[None, :], fy[:, None] - ty[None, :])
+    np.fill_diagonal(dist, -1.0)             # self is always nearest (:142-143)
+    rng = np.random.RandomState(seed)
+    jitter = rng.uniform(0, 1e-9, size=dist.shape)
+    order = np.argsort(dist + jitter, axis=0, kind="stable")
+    rank = np.empty_like(order)
+    for j in range(n):
+        rank[order[:, j], j] = np.arange(1, n + 1)
+    closest = []
+    for i in range(n):
+        row_set = set(np.nonzero(rank[i, :] <= randomise_size)[0].tolist())
+        col_set = set(np.nonzero(rank[:, i] <= randomise_size)[0].tolist())
+        closest.append(sorted(row_set | col_set))
+
+    samples = sample_points(vor, size=sample_size, seed=seed, idx=idx).toPandas()
+    samples = samples.sort_values([idx, "sample_n"]).reset_index(drop=True)
+    samples["SampleIndex"] = np.arange(1, len(samples) + 1)
+    samples["SampleProb"] = samples["sample_n"].map(
+        dict(enumerate(sample_probs)))
+    idx_order = {int(v): i for i, v in enumerate(vor_pd[idx])}
+    sample_pos = samples[idx].map(idx_order).to_numpy()
+
+    # sequential no-replacement weighted assignment with restart
+    arng = np.random.RandomState(seed + 1)
+    probs = samples["SampleProb"].to_numpy()
+    for attempt in range(max_tries):
+        used = np.zeros(n, dtype=np.int64)
+        taken = np.zeros(len(samples), dtype=bool)
+        ok = True
+        for i in range(n):
+            cand = np.nonzero(np.isin(sample_pos, closest[i]) & ~taken)[0]
+            if len(cand) == 0:
+                ok = False
+                break
+            w = probs[cand]
+            pick = arng.choice(cand, p=w / w.sum())
+            used[i] = pick + 1
+            taken[pick] = True
+        if ok:
+            break
+    if not ok:
+        raise RuntimeError("randomise_voronoi failed after max_tries")
+
+    chosen = samples.iloc[used - 1].reset_index(drop=True)
+    out = vor_pd[[idx, x, y]].copy()
+    out["new_x"] = chosen["px"].to_numpy()
+    out["new_y"] = chosen["py"].to_numpy()
+    out["from_cell"] = chosen[idx].to_numpy()
+    return spark.createDataFrame(out)

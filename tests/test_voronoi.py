@@ -1,0 +1,86 @@
+"""Voronoi family parity tests (FIXTURES.md F5 golden facts)."""
+
+import numpy as np
+import pytest
+
+from hexscape_spark import geo
+from hexscape_spark.voronoi import (discretise_voronoi, randomise_voronoi,
+                                    sample_points, voronoi_cell)
+
+
+@pytest.fixture(scope="module")
+def farm_points(spark):
+    rng = np.random.RandomState(42)
+    pts = rng.uniform(0, 10, size=(100, 2))
+    return spark.createDataFrame(
+        [(i + 1, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "Index LONG, x DOUBLE, y DOUBLE")
+
+
+def test_voronoi_cells_partition_the_map(spark, farm_points):
+    land = geo.rect_wkb(0, 0, 10, 10)
+    cells = discretise_voronoi(spark, land, farm_points).toPandas()
+    assert len(cells) == 100
+    # cells tile the map exactly
+    assert cells.Area.sum() == pytest.approx(100.0, abs=1e-6)
+    # every input point lies inside its own cell (R/discretise_voronoi.R:28-31)
+    for _, row in cells.iterrows():
+        polys = geo.wkb_to_polygons(bytes(row.geom_wkb))
+        assert geo.points_in_polygons(
+            np.array([row.x]), np.array([row.y]), polys)[0], row.Index
+
+
+def test_voronoi_cell_is_nearest_region(farm_points, spark):
+    pts = farm_points.toPandas()[["x", "y"]].to_numpy()
+    env = geo.rect_ring(0, 0, 10, 10)
+    cell = voronoi_cell(0, pts, env)
+    # random points inside the cell are nearest to seed 0
+    rng = np.random.RandomState(1)
+    x0, y0, x1, y1 = geo.polygons_bounds([[cell]])
+    for _ in range(200):
+        p = rng.uniform([x0, y0], [x1, y1])
+        if geo.points_in_polygons(np.array([p[0]]), np.array([p[1]]), [[cell]])[0]:
+            d = np.hypot(pts[:, 0] - p[0], pts[:, 1] - p[1])
+            assert d.argmin() == 0
+
+
+def test_sample_points_exact_count_and_containment(spark, farm_points):
+    land = geo.rect_wkb(0, 0, 10, 10)
+    cells = discretise_voronoi(spark, land, farm_points)
+    samp = sample_points(cells, size=5, seed=7).toPandas()
+    # exactly `size` samples per polygon (R/sample_points.R:63)
+    assert (samp.groupby("Index").size() == 5).all()
+    assert len(samp) == 500
+    cell_pd = cells.toPandas().set_index("Index")
+    for gidx, grp in samp.groupby("Index"):
+        polys = geo.wkb_to_polygons(bytes(cell_pd.loc[gidx].geom_wkb))
+        ok = geo.points_in_polygons(grp.px.to_numpy(), grp.py.to_numpy(), polys)
+        assert ok.all()
+
+
+def test_sample_points_deterministic(spark, farm_points):
+    land = geo.rect_wkb(0, 0, 10, 10)
+    cells = discretise_voronoi(spark, land, farm_points)
+    a = sample_points(cells, size=3, seed=7).toPandas().sort_values(
+        ["Index", "sample_n"]).reset_index(drop=True)
+    b = sample_points(cells, size=3, seed=7).toPandas().sort_values(
+        ["Index", "sample_n"]).reset_index(drop=True)
+    assert (a.px.values == b.px.values).all()
+
+
+def test_randomise_voronoi_invariants(spark):
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(0, 10, size=(30, 2))
+    points = spark.createDataFrame(
+        [(i + 1, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "Index LONG, x DOUBLE, y DOUBLE")
+    land = geo.rect_wkb(0, 0, 10, 10)
+    out = randomise_voronoi(spark, land, points, randomise_size=5,
+                            seed=11).toPandas()
+    # total assignments == n_points (R/randomise_voronoi.R:232)
+    assert len(out) == 30
+    # every replacement lies inside the map
+    assert ((out.new_x >= 0) & (out.new_x <= 10) &
+            (out.new_y >= 0) & (out.new_y <= 10)).all()
+    # no sample reused twice: all replacement coords distinct
+    assert len(out[["new_x", "new_y"]].drop_duplicates()) == 30
