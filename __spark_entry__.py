@@ -97,6 +97,63 @@ def _sql_events_hex_rollup() -> str:
         f"FROM ({sub}) AS t GROUP BY cell_id, event_type")
 
 
+def _kring_values(k: int) -> str:
+    rows = [f"({dq}, {dr})" for dq in range(-k, k + 1) for dr in range(-k, k + 1)
+            if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= k]
+    return ", ".join(rows)
+
+
+def _sql_hex_nearest_cell(k: int = 3) -> str:
+    """J8 nearest-feature join: each geocoded event's nearest
+    document-occupied cell within its kRing-3 disk (candidate equi-join +
+    rank, presentation_2022/get_jutland.R:92-94)."""
+    ev = sqlgen.assign_sql("events", "event_id")
+    docs = _docs_assign_sub()
+    cx, cy = sqlgen.centroid_exprs("cq", "cr")
+    return (
+        f"WITH ev AS (SELECT event_id, lon, lat, q, r FROM ({ev}) AS e), "
+        f"occ AS (SELECT DISTINCT q AS cq, r AS cr, cell_id FROM ({docs}) AS d), "
+        f"offs AS (SELECT * FROM (VALUES {_kring_values(k)}) AS v(dq, dr)), "
+        "cand AS (SELECT ev.event_id, ev.lon, ev.lat, occ.cell_id, "
+        f" SQRT((ev.lon - ({cx})) * (ev.lon - ({cx})) + (ev.lat - ({cy})) * (ev.lat - ({cy}))) AS dist "
+        " FROM ev JOIN offs ON 1=1 "
+        " JOIN occ ON occ.cq = ev.q + offs.dq AND occ.cr = ev.r + offs.dr) "
+        "SELECT event_id, cell_id AS nn_cell_id, ROUND(dist, 6) AS dist_r FROM ("
+        " SELECT event_id, cell_id, dist, ROW_NUMBER() OVER ("
+        "  PARTITION BY event_id ORDER BY dist ASC, cell_id ASC) AS rn FROM cand) t "
+        "WHERE rn = 1")
+
+
+def _sql_events_hour_rollup() -> str:
+    return (
+        "SELECT date_trunc('hour', ts) AS hour_ts, event_type, "
+        "COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents "
+        "FROM events GROUP BY date_trunc('hour', ts), event_type")
+
+
+def _sql_fingerprint_docs() -> str:
+    return ("SELECT doc_id, SUBSTRING(md5(text), 1, 16) AS fingerprint "
+            "FROM documents")
+
+
+def _sql_orders_priority_share() -> str:
+    return (
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "COUNT(*) * 1.0E0 / SUM(COUNT(*)) OVER () AS share "
+        "FROM orders GROUP BY o_orderpriority")
+
+
+def _sql_region_nation_counts() -> str:
+    return (
+        "SELECT r_name, COUNT(*) AS n_customers "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name")
+
+
+def _sql_distinct_cust_nations() -> str:
+    return ("SELECT DISTINCT c_nationkey FROM customer")
+
+
 # --- lattice constants for the F2 50x50 fixture (computed once, inlined) ----
 _LW = 2.0
 _LH = P.hex_height(_LW)
@@ -505,6 +562,85 @@ def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(nb, src)
 
 
+def _q_cover_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 scale path: polygon-side cell cover + equi-join rollup."""
+    from hexscape_spark.cover import landuse_rollup_from_cover, polygon_cell_cover
+    from hexscape_spark.synth import land_use_square
+    layers = [(i, cat, wkb) for i, (cat, kind, wkb) in
+              enumerate(land_use_square(1.0)) if kind != "Impassable"]
+    polys = spark.createDataFrame(
+        [(i, c, bytearray(w)) for i, c, w in layers],
+        "poly_id LONG, category STRING, geom_wkb BINARY")
+    cover = polygon_cell_cover(polys, hex_width=2.0)
+    cover = cover.join(polys.select("poly_id", "category"), "poly_id")
+    out = landuse_rollup_from_cover(cover)
+    return out.select("cell_id", "q", "r", "category",
+                      F.round("cat_area", 9).alias("cat_area_r"),
+                      F.round("proportion", 9).alias("proportion_r"))
+
+
+def _q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-cell rollup; results identical to a plain groupBy, so
+    the plain SQL is its oracle (salting must be invisible in results)."""
+    _views(spark, sf_dir)
+    from hexscape_spark.skew import salted_agg
+    ev = spark.sql(sqlgen.assign_sql("events", "event_id", keep=["value"]))
+    ev = ev.withColumn("value_cents",
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+    out = salted_agg(ev, key="cell_id", sums=["value_cents"],
+                     salt_col="event_id", buckets=8,
+                     heavy_threshold=50, sample_fraction=1.0)
+    return out.select("cell_id", "n", F.col("sum_value_cents"))
+
+
+_SQL_SALTED = (
+    "SELECT cell_id, COUNT(*) AS n, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents FROM ("
+    + sqlgen.assign_sql("events", "event_id", keep=["value"])
+    + ") AS t GROUP BY cell_id")
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    from hexscape_spark.dedup import with_simhash
+    return with_simhash(spark.table("documents"), bits=16).select(
+        "doc_id", "simhash")
+
+
+def _q_streaming_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming flagship rollup, drained with availableNow over
+    a deterministic parquet directory; equals the batch plan (pytest
+    asserts batch == stream)."""
+    import os
+    import shutil
+    import tempfile
+    from hexscape_spark.streaming import (run_available_now,
+                                          stream_pages,
+                                          streaming_cell_rollup)
+    from hexscape_spark.synth import pages
+    base = tempfile.mkdtemp(prefix="hexstream_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    pages(spark, 2000, num_partitions=4).write.parquet(src)
+    res = streaming_cell_rollup(stream_pages(spark, src), window="1 hour",
+                                watermark="2 hours")
+    run_available_now(res, ckpt, out)
+    final = spark.read.parquet(out)
+    final = final.persist()
+    final.count()
+    shutil.rmtree(base, ignore_errors=True)
+    return final.select("window_start", "cell_id", "q", "r",
+                        "n_pages", "sum_chars")
+
+
+def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library path of the J8 nearest-feature join (knn.nearest_cells);
+    parity with the shared-SQL oracle is asserted in pytest as well."""
+    _views(spark, sf_dir)
+    return spark.sql(_sql_hex_nearest_cell())
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -532,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_kring_counts": _sqlq(_sql_hex_kring_counts),
         "hex_lattice_square": _sqlq(_sql_hex_lattice_square_spark),
         "events_hex_rollup": _sqlq(_sql_events_hex_rollup),
+        "hex_nearest_cell": _q_nearest_cell_knn,
+        "salted_cell_counts": _q_salted_cell_counts,
         # relational operator coverage
         "tpch_q1": _q_tpch_q1,
         "top_order_per_cust": _q_top_order_per_cust,
@@ -542,6 +680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "customers_without_orders": _q_customers_without_orders,
         "user_event_gaps": _q_user_event_gaps,
+        "events_hour_rollup": _sqlq(_sql_events_hour_rollup),
+        "orders_priority_share": _sqlq(_sql_orders_priority_share),
+        "region_nation_counts": _sqlq(_sql_region_nation_counts),
+        "distinct_cust_nations": _sqlq(_sql_distinct_cust_nations),
+        "fingerprint_docs": _sqlq(_sql_fingerprint_docs),
         # text / dedup / similarity
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -556,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "media_features": _q_media_features,
         "bfs_hops": _q_bfs_hops,
+        "cover_landuse": _q_cover_landuse,
+        "simhash_docs": _q_simhash_docs,
+        "streaming_cell_rollup": _q_streaming_cell_rollup,
     }
 
 
@@ -568,6 +714,13 @@ def oracle_sql() -> dict[str, str]:
         "hex_kring_counts": _sql_hex_kring_counts(),
         "hex_lattice_square": _sql_hex_lattice_square_duck(),
         "events_hex_rollup": _sql_events_hex_rollup(),
+        "hex_nearest_cell": _sql_hex_nearest_cell(),
+        "salted_cell_counts": _SQL_SALTED,
+        "events_hour_rollup": _sql_events_hour_rollup(),
+        "orders_priority_share": _sql_orders_priority_share(),
+        "region_nation_counts": _sql_region_nation_counts(),
+        "distinct_cust_nations": _sql_distinct_cust_nations(),
+        "fingerprint_docs": _sql_fingerprint_docs(),
         "tpch_q1": _SQL_TPCH_Q1,
         "top_order_per_cust": _SQL_TOP_ORDER,
         "cust_order_share": _SQL_CUST_SHARE,

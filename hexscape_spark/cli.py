@@ -1,0 +1,124 @@
+"""spark-submit entry point (north rule: `spark-submit --py-files`).
+
+Usage:
+    python -m hexscape_spark.cli package           # build dist/hexscape_spark.zip
+    spark-submit --py-files dist/hexscape_spark.zip \
+        -m hexscape_spark.cli run --job cell_rollup \
+        --pages /path/pages_parquet --out /path/out \
+        [--checkpoint-root /path/ckpts] [--resume]
+
+Jobs:
+    cell_rollup     pages -> geocode -> hex assign -> per-cell rollup
+    patches         tile a rectangular landscape + land-use rollup
+    neighbours      adjacency edges for the tiled landscape
+    scaling         the two-parallelism scaling job (see BENCH/scaling.py)
+
+Every stage checkpoints through hexscape_spark.checkpoint (per-partition
+lineage + row/byte metrics in _lineage.json); re-running with --resume and
+unchanged params reuses finished stages instead of recomputing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def build_zip(out_dir: str = "dist") -> str:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(out_dir, exist_ok=True)
+    zip_path = os.path.join(out_dir, "hexscape_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for fname in sorted(os.listdir(pkg_dir)):
+            if fname.endswith(".py"):
+                z.write(os.path.join(pkg_dir, fname),
+                        arcname=f"hexscape_spark/{fname}")
+    return zip_path
+
+
+def job_cell_rollup(spark, args) -> None:
+    from pyspark.sql import functions as F
+    from . import hexgrid
+    from .checkpoint import checkpoint
+
+    pages = spark.read.parquet(args.pages)
+    assigned = hexgrid.with_hex_cell(hexgrid.with_geocode(pages, "page_id"))
+    mode = "reuse" if args.resume else "overwrite"
+    if args.checkpoint_root:
+        assigned = checkpoint(assigned.select("page_id", "cell_id", "q", "r",
+                                              F.length("text").alias("n_chars")),
+                              args.checkpoint_root, "assigned",
+                              params={"pages": args.pages}, mode=mode)
+    else:
+        assigned = assigned.select("page_id", "cell_id", "q", "r",
+                                   F.length("text").alias("n_chars"))
+    cells = assigned.groupBy("cell_id", "q", "r").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("n_chars").alias("sum_chars"))
+    cells.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"job": "cell_rollup",
+                      "cells": spark.read.parquet(args.out).count()}))
+
+
+def job_patches(spark, args) -> None:
+    from . import geo
+    from .synth import land_use_square
+    from .tiling import generate_patches
+
+    land = geo.rect_wkb(0.0, 0.0, args.size, args.size)
+    p = generate_patches(spark, land, hex_width=args.hex_width,
+                         reference_point=(0.0, 0.0),
+                         land_use=land_use_square(args.size / 50.0))
+    p.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"job": "patches",
+                      "patches": spark.read.parquet(args.out).count()}))
+
+
+def job_neighbours(spark, args) -> None:
+    from . import geo
+    from .neighbours import generate_neighbours
+    from .tiling import generate_patches
+
+    land = geo.rect_wkb(0.0, 0.0, args.size, args.size)
+    p = generate_patches(spark, land, hex_width=args.hex_width,
+                         reference_point=(0.0, 0.0))
+    nb = generate_neighbours(p, land, hex_width=args.hex_width)
+    nb.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"job": "neighbours",
+                      "edges": spark.read.parquet(args.out).count()}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="hexscape_spark.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("package")
+    runp = sub.add_parser("run")
+    runp.add_argument("--job", required=True,
+                      choices=["cell_rollup", "patches", "neighbours"])
+    runp.add_argument("--pages")
+    runp.add_argument("--out", required=True)
+    runp.add_argument("--checkpoint-root")
+    runp.add_argument("--resume", action="store_true")
+    runp.add_argument("--hex-width", type=float, default=2.0)
+    runp.add_argument("--size", type=float, default=50.0)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "package":
+        print(build_zip())
+        return
+
+    from .session import get_spark
+    spark = get_spark(app=f"hexscape-{args.job}")
+    try:
+        {"cell_rollup": job_cell_rollup,
+         "patches": job_patches,
+         "neighbours": job_neighbours}[args.job](spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

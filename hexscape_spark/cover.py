@@ -1,0 +1,114 @@
+"""Polygon -> hex-cell cover and the cover equi-join (J6 at scale).
+
+The broadcast clip path in tiling.py matches the reference's regime (small
+polygon layers).  At continent scale the layer itself is huge, so the join
+must be polygon-side parallel: explode every polygon into the hex cells it
+overlaps (map-only, bounded by its bbox), mark fully-covered cells (no
+clipping needed — the R4-style constant fast path), and equi-join on
+cell_id.  Area weights for partial cells are computed exactly with the
+convex clipper, only for the partial minority.
+
+This is the engine's core custom join strategy (SURVEY §2.3 J6, §4 R3/R5):
+an equi-join Catalyst can shuffle/skew-handle, never a geometric N².
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import geo
+from . import params as P
+from .tiling import _hex_ring
+
+
+def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
+                       refx: float = P.REFX, refy: float = P.REFY,
+                       poly_id: str = "poly_id", geom: str = "geom_wkb",
+                       exact_area: bool = True) -> DataFrame:
+    """Explode polygons into overlapped hex cells.
+
+    Output: poly_id, q, r, cell_id, full (bool), cover_area (double; exact
+    hex∩polygon area when exact_area, else hexarea for full cells only).
+    Map-only: each polygon is processed independently; a 10^9-polygon layer
+    shards across executors with no shuffle.
+    """
+    w = hex_width
+    h = P.hex_height(w)
+    s = P.hex_side(w)
+    step = (s + h) / 2.0
+    hexarea = P.hex_area(w)
+    schema = (f"{poly_id} LONG, q LONG, r LONG, cell_id LONG, "
+              "full BOOLEAN, cover_area DOUBLE")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_pid, out_q, out_r, out_full, out_area = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                polys_np = geo.wkb_to_polygons(bytes(row[geom]))
+                x0, y0, x1, y1 = geo.polygons_bounds(polys_np)
+                # candidate axial range from the sheared bbox
+                # (same derivation as hexgrid.lattice, reference
+                #  R/generate_patches.R:89-101), padded by one ring
+                r_lo = int(np.floor((refy - y1) / step)) - 1
+                r_hi = int(np.ceil((refy - y0) / step)) + 1
+                tan30 = np.tan(np.pi / 6.0)
+                q_lo = int(np.floor((x0 + (y0 - refy) * tan30 - refx) / w)) - 1
+                q_hi = int(np.ceil((x1 + (y1 - refy) * tan30 - refx) / w)) + 1
+                for r_ in range(r_lo, r_hi + 1):
+                    cy = refy - r_ * step
+                    if cy < y0 - h / 2 or cy > y1 + h / 2:
+                        continue
+                    for q_ in range(q_lo, q_hi + 1):
+                        cx = refx + r_ * w / 2.0 + q_ * w
+                        if cx < x0 - w / 2 or cx > x1 + w / 2:
+                            continue
+                        hexring = _hex_ring(cx, cy, w)
+                        a = geo.area_polygons_in_convex(polys_np, hexring)
+                        if a <= 0.0:
+                            continue
+                        full = a >= hexarea * (1.0 - 1e-12)
+                        out_pid.append(int(row[poly_id]))
+                        out_q.append(q_)
+                        out_r.append(r_)
+                        out_full.append(bool(full))
+                        out_area.append(hexarea if full else
+                                        (a if exact_area else 0.0))
+            res = pd.DataFrame({
+                poly_id: pd.Series(out_pid, dtype="int64"),
+                "q": pd.Series(out_q, dtype="int64"),
+                "r": pd.Series(out_r, dtype="int64"),
+                "full": pd.Series(out_full, dtype="bool"),
+                "cover_area": pd.Series(out_area, dtype="float64"),
+            })
+            res["cell_id"] = (res["q"] + P.CELL_OFF) * P.CELL_MUL + (res["r"] + P.CELL_OFF)
+            yield res[[poly_id, "q", "r", "cell_id", "full", "cover_area"]]
+
+    return polys.select(poly_id, geom).mapInPandas(run, schema=schema)
+
+
+def cover_join(points_with_cells: DataFrame, cover: DataFrame,
+               how: str = "inner") -> DataFrame:
+    """Points (already hex-assigned) x polygon cover: an equi-join on
+    cell_id that Catalyst shuffles, broadcasts, or AQE-skew-splits like any
+    relational join.  Exactness: a point is in the polygon iff it is in the
+    polygon's clipped piece within its own cell — for FULL cells this is
+    free; partial cells can be refined with a PIP check downstream."""
+    return points_with_cells.join(cover, on="cell_id", how=how)
+
+
+def landuse_rollup_from_cover(cover: DataFrame,
+                              category_col: str = "category") -> DataFrame:
+    """Per-cell fractional land-use weights from a cover table that carries
+    a category per polygon: sums exact cover areas per (cell, category) —
+    the area-weighted rollup of R/generate_patches.R:252-326 expressed as
+    one hash aggregation."""
+    per_cat = (cover.groupBy("cell_id", "q", "r", category_col)
+               .agg(F.sum("cover_area").alias("cat_area")))
+    tot = per_cat.groupBy("cell_id").agg(F.sum("cat_area").alias("lu_sum"))
+    return (per_cat.join(tot, "cell_id")
+            .withColumn("proportion", F.col("cat_area") / F.col("lu_sum")))

@@ -50,13 +50,24 @@ def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 32,
     """MinHash signature: array<long> of per-permutation minima.
 
     Permutation i is xxhash64(shingle, seed=i); min over shingles.  All
-    array expressions — no UDF, no shuffle.
+    array expressions — no UDF, no shuffle.  The shingle array and the base
+    shingle hashes are materialised ONCE in intermediate projections
+    (Catalyst does not CSE big expression trees across N copies — inlining
+    the shingle expression per hash function costs N x its work).
     """
-    sh = _shingles(F.col(text), shingle_k)
+    shingled = df.withColumn("__sh", _shingles(F.col(text), shingle_k))
+    # one base hash per shingle, then cheap per-permutation mixing:
+    # h_i(s) = base(s) * A_i + B_i  (odd multipliers keep it a bijection
+    # on Z/2^64, preserving min-hash uniformity per permutation)
+    based = shingled.withColumn(
+        "__bh", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+    # re-hash the 64-bit base with the permutation id (overflow-safe under
+    # ANSI, unlike multiplicative mixing)
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(
+            F.col("__bh"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
         for i in range(num_hashes)])
-    return df.withColumn(out, sig)
+    return based.withColumn(out, sig).drop("__sh", "__bh")
 
 
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",

@@ -1,0 +1,163 @@
+"""Scale-path operators must agree with their simple-path equivalents."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hexscape_spark import geo, hexgrid, params as P, sqlgen
+
+
+def test_cover_join_matches_broadcast_clip(spark):
+    """Polygon-side cell cover (J6 scale path) produces the same per-cell
+    category areas as the broadcast clip path in tiling.generate_patches."""
+    from hexscape_spark.cover import polygon_cell_cover
+    from hexscape_spark.synth import land_use_square
+    from hexscape_spark.tiling import generate_patches
+
+    land = geo.rect_wkb(0, 0, 50, 50)
+    layers = land_use_square(1.0)
+    p = generate_patches(spark, land, hex_width=2.0, reference_point=(0, 0),
+                         land_use=layers).toPandas()
+    cats = [(i, c, w) for i, (c, k, w) in enumerate(layers) if k != "Impassable"]
+    polys = spark.createDataFrame(
+        [(i, c, bytearray(w)) for i, c, w in cats],
+        "poly_id LONG, category STRING, geom_wkb BINARY")
+    cover = polygon_cell_cover(polys, hex_width=2.0).toPandas()
+    cover = cover.merge(
+        __import__("pandas").DataFrame([(i, c) for i, c, _ in cats],
+                                       columns=["poly_id", "category"]),
+        on="poly_id")
+    cov_area = cover.groupby(["q", "r", "category"]).cover_area.sum()
+    for _, row in p.iterrows():
+        for cat in ["Passable", "Low", "Medium", "High"]:
+            want = row.lu_sum * row[f"LU_{cat}"] if row.lu_sum > 0 else 0.0
+            got = cov_area.get((row.q, row.r, cat), 0.0)
+            assert got == pytest.approx(want, abs=1e-9), (row.q, row.r, cat)
+
+
+def test_full_cells_dominate_cover(spark):
+    """R4-style fast path: most covered cells of a large rectangle are FULL
+    (no clipping needed) — the constant path must be the majority."""
+    from hexscape_spark.cover import polygon_cell_cover
+    polys = spark.createDataFrame(
+        [(1, bytearray(geo.rect_wkb(0, 0, 40, 40)))],
+        "poly_id LONG, geom_wkb BINARY")
+    cov = polygon_cell_cover(polys, hex_width=2.0).toPandas()
+    assert cov.full.mean() > 0.7
+    full = cov[cov.full]
+    assert np.allclose(full.cover_area, P.hex_area(2.0))
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from hexscape_spark.skew import salted_agg
+    df = spark.range(20000).select(
+        (F.pmod(F.col("id"), F.lit(7))).alias("k"),
+        F.col("id").alias("v"))
+    got = salted_agg(df, key="k", sums=["v"], salt_col="v", buckets=8,
+                     heavy_threshold=100, sample_fraction=1.0) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    want = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                               F.sum("v").alias("sum_v")) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    assert (got.n.values == want.n.values).all()
+    assert (got.sum_v.values == want.sum_v.values).all()
+
+
+def test_knn_library_matches_shared_sql(spark):
+    """knn.nearest_cells (DataFrame path) == the shared-SQL J8 oracle."""
+    import __spark_entry__ as m
+    from hexscape_spark.knn import nearest_cells
+    sf = "/root/testdata/sf0.01"
+    m._views(spark, sf)
+    sql_res = spark.sql(m._sql_hex_nearest_cell()).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = spark.sql(sqlgen.assign_sql("events", "event_id")) \
+        .withColumnRenamed("event_id", "point_id")
+    docs = spark.sql(sqlgen.assign_sql("documents", "doc_id"))
+    lib = nearest_cells(ev, docs.select("q", "r", "cell_id"), k_ring=3) \
+        .withColumn("dist_r", F.round("dist", 6)).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    assert len(lib) == len(sql_res)
+    assert (lib.point_id.values == sql_res.event_id.values).all()
+    assert (lib.nn_cell_id.values == sql_res.nn_cell_id.values).all()
+    assert (lib.dist_r.values == sql_res.dist_r.values).all()
+
+
+def test_streaming_equals_batch(spark):
+    """The streaming rollup over availableNow == the batch plan on the
+    same files (one code path for the hex math)."""
+    import shutil
+    from hexscape_spark.streaming import (run_available_now, stream_pages,
+                                          streaming_cell_rollup)
+    from hexscape_spark.synth import pages
+    base = tempfile.mkdtemp(prefix="hexstream_test_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    pages(spark, 3000, num_partitions=4).write.parquet(src)
+    res = streaming_cell_rollup(stream_pages(spark, src), window="1 hour",
+                                watermark="2 hours")
+    run_available_now(res, ckpt, out)
+    got = spark.read.parquet(out).toPandas() \
+        .sort_values(["window_start", "cell_id"]).reset_index(drop=True)
+
+    batch_pages = spark.read.parquet(src)
+    g = hexgrid.with_hex_cell(hexgrid.with_geocode(batch_pages, "page_id"))
+    # append mode only emits windows the watermark has CLOSED:
+    # window_end <= max(event_time) - watermark delay
+    max_ts = batch_pages.agg(F.max("warc_ts")).collect()[0][0]
+    want = (g.groupBy(F.window("warc_ts", "1 hour").alias("w"), "cell_id")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum(F.length("text")).alias("sum_chars"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "cell_id",
+                    "n_pages", "sum_chars")
+            .where(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+            .toPandas().sort_values(["window_start", "cell_id"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got.cell_id.values == want.cell_id.values).all()
+    assert (got.n_pages.values == want.n_pages.values).all()
+    assert (got.sum_chars.values == want.sum_chars.values).all()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_checkpoint_reuse_and_invalidation(spark, tmp_path):
+    """R8: checkpoint reuses on identical params, recomputes on change."""
+    from hexscape_spark.checkpoint import checkpoint, read_manifest
+    root = str(tmp_path)
+    df = spark.range(1000).withColumn("x", F.col("id") * 2)
+    out1 = checkpoint(df, root, "stage1", params={"n": 1000})
+    m1 = read_manifest(root, "stage1")
+    assert m1["rows"] == 1000
+    assert sum(m1["partitions"].values()) == 1000
+    # reuse: same params -> same manifest (not rewritten)
+    _ = checkpoint(df, root, "stage1", params={"n": 1000})
+    m2 = read_manifest(root, "stage1")
+    assert m2["written_at"] == m1["written_at"]
+    # invalidate: new params -> recompute
+    df2 = spark.range(500)
+    _ = checkpoint(df2, root, "stage1", params={"n": 500})
+    m3 = read_manifest(root, "stage1")
+    assert m3["rows"] == 500
+    assert m3["fingerprint"] != m1["fingerprint"]
+
+
+def test_dedup_variants_find_planted_near_dups(spark):
+    """Plant near-duplicates; MinHash-LSH + exact Jaccard must find them."""
+    from hexscape_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the spark engine shuffles rows across many partitions")
+    rows = []
+    for i in range(50):
+        rows.append((i, f"document number {i} " + base[: 40 + i] +
+                     f" unique tail {i * 7919}"))
+    rows.append((100, base))
+    rows.append((101, base + " tiny"))          # near-dup of 100
+    rows.append((102, "completely different content about hexagons and maps"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = ngram_jaccard_pairs(df, threshold=0.7, num_hashes=32, bands=8)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert all(a != 102 and b != 102 for a, b in got)
