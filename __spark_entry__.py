@@ -634,6 +634,66 @@ def _q_streaming_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_pages", "sum_chars")
 
 
+def _q_connectedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel connectedness on the hex-tiled 20x20 square (rows-only;
+    convergence/symmetry invariants pytest-verified)."""
+    from hexscape_spark import geo
+    from hexscape_spark.connectedness import generate_connectedness
+    from hexscape_spark.tiling import generate_patches
+    land = geo.rect_wkb(0.0, 0.0, 20.0, 20.0)
+    p = generate_patches(spark, land, hex_width=5.0, reference_point=(0.0, 0.0),
+                         keep_geometry=True)
+    conn = generate_connectedness(p, lambda d: 0.5 / d, max_distance=5.0,
+                                  grid_resolution=10)
+    return conn.select("Source", "Target", F.round("Connectedness", 9)
+                       .alias("connectedness_r"))
+
+
+def _q_habitat_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """discretise_habitat on the F6 fixture (rows-only; capacity
+    conservation pytest-verified)."""
+    from hexscape_spark import geo
+    from hexscape_spark.habitat import discretise_habitat
+    km = 1000.0
+    rows = [("High", 0.75, bytearray(geo.rect_wkb(0, 0, 4 * km, 3 * km))),
+            ("Low", 0.25, bytearray(geo.rect_wkb(4 * km, 0, 8 * km, 2 * km))),
+            ("High2", 0.75, bytearray(geo.rect_wkb(km, 4 * km, 3 * km, 6 * km)))]
+    hab = spark.createDataFrame(rows, "Habitat STRING, Density DOUBLE, geom_wkb BINARY")
+    return discretise_habitat(spark, hab, max_size_km2=3.0,
+                              point_density_per_km2=50.0).select(
+        "PatchID", "main_patch", "sub_patch",
+        F.round("area", 6).alias("area_r"),
+        F.round("Capacity", 9).alias("capacity_r"))
+
+
+def _q_voronoi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """discretise_voronoi on seeded points (rows-only; containment and
+    partition invariants pytest-verified)."""
+    import numpy as np
+    from hexscape_spark import geo
+    from hexscape_spark.voronoi import discretise_voronoi
+    rng = np.random.RandomState(42)
+    pts = rng.uniform(0, 10, size=(100, 2))
+    points = spark.createDataFrame(
+        [(i + 1, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "Index LONG, x DOUBLE, y DOUBLE")
+    land = geo.rect_wkb(0, 0, 10, 10)
+    return discretise_voronoi(spark, land, points, keep_geometry=False) \
+        .select("Index", F.round("Area", 9).alias("area_r"),
+                F.round("centroid_x", 9).alias("cx_r"),
+                F.round("centroid_y", 9).alias("cy_r"))
+
+
+def _q_dissolve_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 dissolve: union land-use layers per category (rows-only)."""
+    from hexscape_spark.dissolve import dissolve
+    from hexscape_spark.synth import land_use_square
+    rows = [(c, bytearray(w)) for c, k, w in land_use_square(1.0)]
+    df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
+    return dissolve(df).select("clc", F.round("area", 9).alias("area_r"),
+                               "n_parts")
+
+
 def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library path of the J8 nearest-feature join (knn.nearest_cells);
     parity with the shared-SQL oracle is asserted in pytest as well."""
@@ -702,6 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_landuse": _q_cover_landuse,
         "simhash_docs": _q_simhash_docs,
         "streaming_cell_rollup": _q_streaming_cell_rollup,
+        "connectedness": _q_connectedness,
+        "habitat_patches": _q_habitat_patches,
+        "voronoi_cells": _q_voronoi_cells,
+        "dissolve_layers": _q_dissolve_layers,
     }
 
 

@@ -1,0 +1,63 @@
+"""discretise_habitat golden invariants (FIXTURES.md F6,
+R/discretise_habitat.R:66-74,225-227,284-319)."""
+
+import numpy as np
+import pytest
+
+from hexscape_spark import geo
+from hexscape_spark.habitat import bandwidth_nrd, discretise_habitat
+
+
+@pytest.fixture(scope="module")
+def habitat_df(spark):
+    # F6: rectangles totalling ~25 km², Density in {0.75, 0.25, 0.0}
+    km = 1000.0
+    rows = [
+        ("High", 0.75, geo.rect_wkb(0, 0, 4 * km, 3 * km)),
+        ("Low", 0.25, geo.rect_wkb(4 * km, 0, 8 * km, 2 * km)),
+        ("High2", 0.75, geo.rect_wkb(1 * km, 4 * km, 3 * km, 6 * km)),
+        ("Non", 0.0, geo.rect_wkb(8 * km, 0, 10 * km, 1 * km)),
+    ]
+    return spark.createDataFrame(
+        [(h, d, bytearray(w)) for h, d, w in rows],
+        "Habitat STRING, Density DOUBLE, geom_wkb BINARY")
+
+
+def test_bandwidth_nrd_matches_r_formula():
+    x = np.arange(100, dtype=float)
+    q25, q75 = np.quantile(x, [0.25, 0.75])
+    want = 4 * 1.06 * min(np.std(x, ddof=1), (q75 - q25) / 1.34) * 100 ** -0.2
+    assert bandwidth_nrd(x) == pytest.approx(want)
+
+
+def test_total_capacity_approximately_conserved(spark, habitat_df):
+    """Σ output Capacity ≈ Σ area×Density (within rasterisation tolerance,
+    R/discretise_habitat.R:316-318)."""
+    out = discretise_habitat(spark, habitat_df, max_size_km2=5.0,
+                             min_size_km2=0.5, raster_size_km2=0.05,
+                             point_density_per_km2=50.0).toPandas()
+    want_capacity = (4 * 3 * 0.75) + (4 * 2 * 0.25) + (2 * 2 * 0.75)
+    got = out.Capacity.sum()
+    assert got == pytest.approx(want_capacity, rel=0.15)
+
+
+def test_subpatch_sizes_and_ids(spark, habitat_df):
+    out = discretise_habitat(spark, habitat_df, max_size_km2=3.0,
+                             min_size_km2=0.5, raster_size_km2=0.05,
+                             point_density_per_km2=50.0).toPandas()
+    # split patches should not (grossly) exceed max_size
+    assert (out.area / 1e6 <= 3.0 * 1.5).all()
+    # PatchID format "{main}_{sub}" and unique
+    assert out.PatchID.is_unique
+    assert all("_" in p for p in out.PatchID)
+    # no output patch smaller than min_size/2 (raster tolerance)
+    assert (out.area / 1e6 >= 0.5 / 2).all()
+
+
+def test_deterministic(spark, habitat_df):
+    a = discretise_habitat(spark, habitat_df, seed=7).toPandas() \
+        .sort_values("PatchID").reset_index(drop=True)
+    b = discretise_habitat(spark, habitat_df, seed=7).toPandas() \
+        .sort_values("PatchID").reset_index(drop=True)
+    assert (a.PatchID.values == b.PatchID.values).all()
+    assert np.allclose(a.area.values, b.area.values)
