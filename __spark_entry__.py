@@ -23,9 +23,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+_VIEW_CACHE: dict[tuple[int, str], bool] = {}
+
+
 def _views(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), sf_dir)
+    if _VIEW_CACHE.get(key):
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _VIEW_CACHE.clear()          # views are global per session: one sf at a time
+    _VIEW_CACHE[key] = True
 
 
 # ---------------------------------------------------------------------------
@@ -79,14 +87,18 @@ def _sql_hex_neighbours() -> str:
 
 
 def _sql_hex_kring_counts(k: int = 2) -> str:
-    d = sqlgen.hex_distance_expr("a.q", "a.r", "b.q", "b.r")
+    """kRing-disk aggregation as an offsets equi-join (H3 grid_disk):
+    shuffle key = shifted (q, r); never an N² theta join."""
     return (
         f"WITH cells AS (SELECT q, r, cell_id, COUNT(*) AS n FROM ({_docs_assign_sub()}) AS t "
-        "GROUP BY q, r, cell_id) "
-        "SELECT a.cell_id AS cell_id, SUM(b.n) AS n_in_disk, COUNT(*) AS cells_in_disk "
-        "FROM cells a JOIN cells b "
-        f"ON ABS(a.q - b.q) <= {k} AND ABS(a.r - b.r) <= {k} AND {d} <= {k} "
-        "GROUP BY a.cell_id")
+        "GROUP BY q, r, cell_id), "
+        f"offs AS (SELECT * FROM (VALUES {_kring_values(k)}) AS v(dq, dr)), "
+        "shifted AS (SELECT a.cell_id, a.q + offs.dq AS q, a.r + offs.dr AS r "
+        " FROM cells a JOIN offs ON 1=1) "
+        "SELECT shifted.cell_id AS cell_id, SUM(b.n) AS n_in_disk, "
+        "COUNT(*) AS cells_in_disk "
+        "FROM shifted JOIN cells b ON b.q = shifted.q AND b.r = shifted.r "
+        "GROUP BY shifted.cell_id")
 
 
 def _sql_events_hex_rollup() -> str:
@@ -397,6 +409,64 @@ FROM (
 # ---------------------------------------------------------------------------
 # Text / dedup / embeddings
 # ---------------------------------------------------------------------------
+
+def _q_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 semi-join: orders having at least one late-shipped lineitem."""
+    _views(spark, sf_dir)
+    o = spark.table("orders")
+    li = spark.table("lineitem").where(
+        F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .select("o_orderkey", "o_custkey"))
+
+
+_SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+"""
+
+
+def _q_full_outer_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 completeness: full lang x source grid with zero-filled counts
+    (the reference's re-add-zero-combos pattern, R/generate_patches.R:269-278)."""
+    _views(spark, sf_dir)
+    d = spark.table("documents")
+    langs = d.select("lang").distinct()
+    sources = d.select("source").distinct()
+    grid = langs.crossJoin(sources)
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    return (grid.join(counts, ["lang", "source"], "left")
+            .select("lang", "source", F.coalesce("n", F.lit(0)).alias("n")))
+
+
+_SQL_FULL_OUTER_GRID = """
+SELECT g.lang, g.source, COALESCE(c.n, 0) AS n
+FROM (SELECT l.lang, s.source
+      FROM (SELECT DISTINCT lang FROM documents) l
+      CROSS JOIN (SELECT DISTINCT source FROM documents) s) g
+LEFT JOIN (SELECT lang, source, COUNT(*) AS n
+           FROM documents GROUP BY lang, source) c
+  ON c.lang = g.lang AND c.source = g.source
+"""
+
+
+def _q_regex_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 regex predicate (NUTS-prefix analogue, R/load_corine.R:240)."""
+    _views(spark, sf_dir)
+    d = spark.table("documents")
+    return (d.where(F.col("source").rlike("^src[0-3]$"))
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("n_chars").alias("sum_chars")))
+
+
+_SQL_REGEX_FILTER = """
+SELECT source, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+FROM documents WHERE regexp_matches(source, '^src[0-3]$')
+GROUP BY source
+"""
+
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
@@ -745,6 +815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_nation_counts": _sqlq(_sql_region_nation_counts),
         "distinct_cust_nations": _sqlq(_sql_distinct_cust_nations),
         "fingerprint_docs": _sqlq(_sql_fingerprint_docs),
+        "semi_join_orders": _q_semi_join_orders,
+        "full_outer_lang_source": _q_full_outer_lang_source,
+        "regex_source_filter": _q_regex_source_filter,
         # text / dedup / similarity
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -785,6 +858,9 @@ def oracle_sql() -> dict[str, str]:
         "region_nation_counts": _sql_region_nation_counts(),
         "distinct_cust_nations": _sql_distinct_cust_nations(),
         "fingerprint_docs": _sql_fingerprint_docs(),
+        "semi_join_orders": _SQL_SEMI_JOIN,
+        "full_outer_lang_source": _SQL_FULL_OUTER_GRID,
+        "regex_source_filter": _SQL_REGEX_FILTER,
         "tpch_q1": _SQL_TPCH_Q1,
         "top_order_per_cust": _SQL_TOP_ORDER,
         "cust_order_share": _SQL_CUST_SHARE,

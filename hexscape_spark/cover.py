@@ -101,6 +101,48 @@ def cover_join(points_with_cells: DataFrame, cover: DataFrame,
     return points_with_cells.join(cover, on="cell_id", how=how)
 
 
+def pip_join(points_with_cells: DataFrame, cover: DataFrame,
+             polys: DataFrame, point_x: str = "lon", point_y: str = "lat",
+             poly_id: str = "poly_id", geom: str = "geom_wkb") -> DataFrame:
+    """Point-in-polygon join (J7, R/download_maps.R:89-118):
+
+      1. equi-join points to polygon cover on cell_id (cheap prefilter, R3);
+      2. FULL cells need no geometry — containment is implied;
+      3. partial cells get an exact vectorized PIP refine against the
+         polygon (Arrow-batched, minority of rows).
+
+    polys must be joinable on poly_id and carry geom_wkb; at broadcastable
+    size the refine ships the geometries with the UDF, which is the
+    reference's regime."""
+    import pyspark.sql.functions as F2
+
+    cand = points_with_cells.join(cover.select(poly_id, "cell_id", "full"),
+                                  on="cell_id")
+    sure = cand.where(F2.col("full")).drop("full")
+    maybe = cand.where(~F2.col("full")).drop("full")
+
+    geoms = {int(r[poly_id]): bytes(r[geom])
+             for r in polys.select(poly_id, geom).collect()}
+    out_schema = maybe.schema
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, list] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pid, grp in pdf.groupby(poly_id):
+                if pid not in cache:
+                    cache[pid] = geo.wkb_to_polygons(geoms[int(pid)])
+                keep[grp.index.to_numpy()] = geo.points_in_polygons(
+                    grp[point_x].to_numpy(), grp[point_y].to_numpy(),
+                    cache[pid])
+            yield pdf[keep]
+
+    refined = maybe.mapInPandas(refine, schema=out_schema)
+    return sure.unionByName(refined)
+
+
 def landuse_rollup_from_cover(cover: DataFrame,
                               category_col: str = "category") -> DataFrame:
     """Per-cell fractional land-use weights from a cover table that carries

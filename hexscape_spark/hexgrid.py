@@ -131,7 +131,12 @@ def lattice(spark: SparkSession, minx: float, miny: float, maxx: float,
     q_hi = math.ceil(x_hi)
     nr = r_hi - r_lo + 1
     nq = q_hi - q_lo + 1
-    rng = spark.range(0, nr * nq, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    if num_partitions is None:
+        # ~4k cells per task: small lattices avoid per-task Python-worker
+        # overhead; planet-scale lattices still fan out fully
+        num_partitions = max(1, min(spark.sparkContext.defaultParallelism,
+                                    (nr * nq) // 4096 + 1))
+    rng = spark.range(0, nr * nq, 1, num_partitions)
     df = rng.selectExpr(
         f"CAST(id % {nq} + {q_lo} AS BIGINT) AS q",
         f"CAST(CAST(id / {nq} AS BIGINT) + {r_lo} AS BIGINT) AS r",

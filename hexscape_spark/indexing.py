@@ -24,6 +24,10 @@ def dense_index(df: DataFrame, order_cols: list[str], out: str = "Index",
     shifted by the exclusive prefix-sum of partition counts (collected to
     the driver — one long per partition).
     """
+    # repartitionByRange SAMPLES its input to pick boundaries — without a
+    # persist here the upstream lineage (e.g. the clip UDF) executes once
+    # for the sample pass and again for every downstream job
+    df = df.persist()
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     spark = sorted_df.sparkSession
     sdf = sorted_df.withColumn("__pid", F.spark_partition_id())

@@ -144,6 +144,61 @@ def test_checkpoint_reuse_and_invalidation(spark, tmp_path):
     assert m3["fingerprint"] != m1["fingerprint"]
 
 
+def test_pip_join_matches_bruteforce(spark):
+    """Exact PIP join (cover prefilter + refine) == brute-force PIP."""
+    from hexscape_spark.cover import pip_join, polygon_cell_cover
+    from hexscape_spark.synth import geocoded_pages, land_use_square
+
+    pts = geocoded_pages(spark, 3000).select("page_id", "lon", "lat",
+                                             "q", "r", "cell_id")
+    # one mid-sized polygon over the world bbox (metres): a 9x7 km L-shape
+    wkb = geo.multipolygon_to_wkb([
+        [geo.rect_ring(8000, 8000, 17000, 12000)],
+        [geo.rect_ring(8000, 12000, 12000, 15000)],
+    ])
+    polys = spark.createDataFrame([(1, bytearray(wkb))],
+                                  "poly_id LONG, geom_wkb BINARY")
+    cover = polygon_cell_cover(polys)
+    got = pip_join(pts, cover, polys).select("page_id").toPandas()
+    pdf = pts.toPandas()
+    polys_np = geo.wkb_to_polygons(wkb)
+    want = pdf[geo.points_in_polygons(pdf.lon.to_numpy(),
+                                      pdf.lat.to_numpy(), polys_np)]
+    assert set(got.page_id) == set(want.page_id)
+    assert len(got) == len(want)
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """W7 Gumbel-trick weighted sampling: deterministic under re-run and
+    empirically biased toward heavy weights."""
+    from hexscape_spark.rollup import weighted_sample_per_group
+    rows = [(g, i, 100.0 if i == 0 else 1.0, f"k{g}_{i}")
+            for g in range(200) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp INT, item INT, w DOUBLE, key STRING")
+    a = weighted_sample_per_group(df, "grp", "w", "key").toPandas() \
+        .sort_values("grp").reset_index(drop=True)
+    b = weighted_sample_per_group(df, "grp", "w", "key").toPandas() \
+        .sort_values("grp").reset_index(drop=True)
+    assert (a.item.values == b.item.values).all()
+    # item 0 has weight 100 vs 1: should win the large majority of groups
+    assert (a.item == 0).mean() > 0.8
+
+
+def test_csv_dimension_roundtrip(spark, tmp_path):
+    """S5/S8: CSV dimension load -> broadcast join, and CSV export."""
+    import pyspark.sql.functions as F2
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).csv(path)
+    dim = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    assert dim.count() == nation.count()
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    joined = cust.join(F2.broadcast(dim), cust.c_nationkey == dim.n_nationkey)
+    assert joined.count() == cust.count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_dedup_variants_find_planted_near_dups(spark):
     """Plant near-duplicates; MinHash-LSH + exact Jaccard must find them."""
     from hexscape_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
