@@ -58,7 +58,9 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                      land_use: list[tuple[str, str, bytes]] | None = None,
                      min_prop: float = 0.01,
                      keep_geometry: bool = False,
-                     lattice_partitions: int | None = None) -> DataFrame:
+                     lattice_partitions: int | None = None,
+                     name: str = "patch", name_index: bool = False,
+                     add_removed: bool = False) -> DataFrame:
     """Tile `landscape_wkb` with hexagons; returns the patches DataFrame.
 
     land_use: list of (category, kind, wkb) where kind in
@@ -90,7 +92,7 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
 
     out_fields = ("q LONG, r LONG, cell_id LONG, hex_cx DOUBLE, hex_cy DOUBLE, "
                   "area DOUBLE, centroid_x DOUBLE, centroid_y DOUBLE, "
-                  "geom_wkb BINARY, "
+                  "geom_wkb BINARY, __imp DOUBLE, "
                   + ", ".join(f"`__cat_{i}` DOUBLE" for i in range(len(cat_names))))
     if not cat_names:
         out_fields = out_fields.rstrip(", ")
@@ -113,6 +115,7 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
             cx, cy = cx[keep], cy[keep]
             n = len(pdf)
             area = np.zeros(n)
+            imp_area = np.zeros(n)
             ctx = np.zeros(n)
             cty = np.zeros(n)
             wkbs: list[bytes | None] = [None] * n
@@ -129,7 +132,8 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                 a = geo.polygons_area(clipped_polys)
                 # impassable subtraction (area only): R/generate_patches.R:158-166
                 for ip in imps:
-                    a -= geo.area_polygons_in_convex(ip, hexring)
+                    imp_area[i] += geo.area_polygons_in_convex(ip, hexring)
+                a -= imp_area[i]
                 area[i] = a
                 if a <= 0:
                     continue
@@ -142,13 +146,20 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                 "cell_id": pdf["cell_id"].to_numpy(),
                 "hex_cx": cx, "hex_cy": cy, "area": area,
                 "centroid_x": ctx, "centroid_y": cty,
-                "geom_wkb": wkbs,
+                "geom_wkb": wkbs, "__imp": imp_area,
             })
             for k in range(len(cats)):
                 res[f"__cat_{k}"] = cat_areas[:, k]
-            yield res[res["area"] >= min_area]
+            # keep sub-threshold rows that carry impassable area so the
+            # add_removed aggregate (R/generate_patches.R:169-177) is exact
+            yield res[(res["area"] >= min_area) | (res["__imp"] > 0.0)]
 
-    patches = lat.mapInPandas(clip_cells, schema=out_fields)
+    clipped_all = lat.mapInPandas(clip_cells, schema=out_fields)
+    if add_removed and impassable:
+        clipped_all = clipped_all.persist()
+        removed = clipped_all.agg(
+            F.sum("__imp").alias("area")).collect()[0]["area"] or 0.0
+    patches = clipped_all.where(F.col("area") >= min_area)
 
     # dense Index over (q, r): exact reference ordering (is.na first is moot
     # here — removed/impassable rows are not emitted).
@@ -178,6 +189,29 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
         patches = patches.withColumn("lu_sum", F.col("area")) \
             .select("Index", "q", "r", "cell_id", "hex_cx", "hex_cy",
                     "centroid_x", "centroid_y", "area", "lu_sum", "geom_wkb")
+
+    if add_removed and impassable:
+        # one Index=NULL row holding everything removed as impassable
+        # (R/generate_patches.R:169-177); geometry/centroid omitted (area
+        # engine), LU_* NULL as in the reference's wide bind (:320-323)
+        removed_row = spark.createDataFrame(
+            [(None, None, None, None, None, None, None, None,
+              float(removed), None)],
+            "Index LONG, q LONG, r LONG, cell_id LONG, hex_cx DOUBLE, "
+            "hex_cy DOUBLE, centroid_x DOUBLE, centroid_y DOUBLE, "
+            "area DOUBLE, lu_sum DOUBLE")
+        patches = patches.unionByName(removed_row, allowMissingColumns=True)
+
+    if name_index:
+        # "{name}_{zero-padded}" (R/generate_patches.R:381-385); pad width =
+        # width of the largest index, as R's format() does
+        n_max = patches.agg(F.max("Index")).collect()[0][0] or 0
+        width = len(str(n_max))
+        patches = patches.withColumn(
+            "Index_str",
+            F.when(F.col("Index").isNotNull(),
+                   F.concat(F.lit(name), F.lit("_"),
+                            F.lpad(F.col("Index").cast("string"), width, "0"))))
     if not keep_geometry:
         patches = patches.drop("geom_wkb")
     return patches

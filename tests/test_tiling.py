@@ -103,6 +103,29 @@ def test_landuse_area_reduced_by_impassable(square_patches, lu_patches):
         pytest.approx(80.0, abs=1e-6)
 
 
+def test_add_removed_row(spark):
+    """add_removed appends one Index=NULL row with the impassable area
+    (R/generate_patches.R:169-177): 10x8 block = 80."""
+    land = geo.rect_wkb(0, 0, 50, 50)
+    p = generate_patches(spark, land, hex_width=HEXW, reference_point=(0, 0),
+                         land_use=land_use_square(1.0), add_removed=True)
+    pdf = p.toPandas()
+    removed = pdf[pdf.Index.isna()]
+    assert len(removed) == 1
+    assert removed.area.iloc[0] == pytest.approx(80.0, abs=1e-6)
+    assert pdf.area.sum() == pytest.approx(2500.0, abs=1e-6)
+
+
+def test_name_index(spark):
+    """name_index prepends the landscape name with zero padding
+    (R/generate_patches.R:381-385)."""
+    land = geo.rect_wkb(0, 0, 50, 50)
+    p = generate_patches(spark, land, hex_width=HEXW, reference_point=(0, 0),
+                         name="dk", name_index=True).toPandas()
+    assert p.Index_str.str.match(r"^dk_\d{3}$").all()
+    assert p.sort_values("Index").Index_str.iloc[0] == "dk_001"
+
+
 def test_landuse_category_totals_match_layer_areas(lu_patches):
     p = lu_patches
     got_low = (p.lu_sum * p.LU_Low).sum()
