@@ -468,6 +468,26 @@ GROUP BY source
 """
 
 
+def _q_lang_guess_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID distribution (textops.with_lang_guess)."""
+    _views(spark, sf_dir)
+    from hexscape_spark.textops import with_lang_guess
+    d = with_lang_guess(spark.table("documents"))
+    return d.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sql_lang_guess_dist() -> str:
+    from hexscape_spark.textops import LANG_MARKERS
+    case = "CASE"
+    for lang, markers in LANG_MARKERS.items():
+        cond = " OR ".join(
+            f"(' ' || text || ' ') LIKE '% {m} %'" for m in markers)
+        case += f" WHEN {cond} THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return (f"SELECT {case} AS lang_guess, COUNT(*) AS n "
+            "FROM documents GROUP BY 1")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     from hexscape_spark.dedup import exact_duplicates
@@ -764,6 +784,23 @@ def _q_dissolve_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "n_parts")
 
 
+def _q_landcover_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The load_corine lifecycle (SURVEY §3.1): scan -> cover -> per-cell
+    rollup -> MISSING_CC gap -> label join (rows-only; invariants in
+    tests/test_pipeline.py)."""
+    from hexscape_spark import geo
+    from hexscape_spark.pipeline import extract_landcover
+    km = 1000.0
+    rows = [(1, "211", bytearray(geo.rect_wkb(0, 0, 10 * km, 8 * km))),
+            (2, "211", bytearray(geo.rect_wkb(12 * km, 0, 20 * km, 6 * km))),
+            (3, "311", bytearray(geo.rect_wkb(0, 10 * km, 15 * km, 20 * km))),
+            (4, "512", bytearray(geo.rect_wkb(16 * km, 10 * km, 20 * km, 14 * km)))]
+    lc = spark.createDataFrame(rows, "poly_id LONG, clc STRING, geom_wkb BINARY")
+    res = extract_landcover(spark, lc, geo.rect_wkb(0, 0, 20 * km, 20 * km))
+    return res["cells"].select("cell_id", "q", "r", "clc",
+                               F.round("area", 6).alias("area_r"))
+
+
 def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library path of the J8 nearest-feature join (knn.nearest_cells);
     parity with the shared-SQL oracle is asserted in pytest as well."""
@@ -820,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_source_filter": _q_regex_source_filter,
         # text / dedup / similarity
         "dedup_exact": _q_dedup_exact,
+        "lang_guess_dist": _q_lang_guess_dist,
         "token_stats": _q_token_stats,
         "lang_dist_by_source": _q_lang_dist_by_source,
         "knn_cosine": _q_knn_cosine,
@@ -835,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_landuse": _q_cover_landuse,
         "simhash_docs": _q_simhash_docs,
         "streaming_cell_rollup": _q_streaming_cell_rollup,
+        "landcover_pipeline": _q_landcover_pipeline,
         "connectedness": _q_connectedness,
         "habitat_patches": _q_habitat_patches,
         "voronoi_cells": _q_voronoi_cells,
@@ -871,6 +910,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": _SQL_NO_ORDERS,
         "user_event_gaps": _SQL_EVENT_GAPS,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "lang_guess_dist": _sql_lang_guess_dist(),
         "token_stats": _SQL_TOKEN_STATS,
         "lang_dist_by_source": _SQL_LANG_DIST,
         "knn_cosine": _SQL_KNN,

@@ -26,16 +26,21 @@ BENCH_QUERIES = [
     "hex_cell_lang_mode",
     "hex_neighbours",
     "hex_kring_counts",
+    "hex_nearest_cell",
     "events_hex_rollup",
+    "salted_cell_counts",
     "tpch_q1",
     "revenue_by_nation",
     "top_order_per_cust",
     "dedup_exact",
     "token_stats",
+    "lang_guess_dist",
     "knn_cosine",
     "minhash_pairs",
+    "lsh_topk",
     "patches_landuse",
     "neighbours_square",
+    "cover_landuse",
 ]
 
 

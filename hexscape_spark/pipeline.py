@@ -1,0 +1,93 @@
+"""The load_corine lifecycle, Spark-first (SURVEY §3.1).
+
+Reference flow (R/load_corine.R:24-294 + R/extract_corine.R:47-205):
+validate/filter codes -> per-layer planning counts -> pushdown scan ->
+clip to region mask -> per-code union -> coverage-gap row -> cached ->
+label join.  Engine form:
+
+  1. P3 code filter + P1 projection (Catalyst pushes both into the scan
+     when the layer is parquet-backed — R1/R2 for free);
+  2. S2 planning counts (groupBy(clc).count) drive skew salting thresholds;
+  3. J6 cell cover of the land-cover polygons AND of the mask;
+  4. per-(cell, clc) area rollup = hash aggregation over cover areas;
+  5. J10 coverage gap: MISSING_CC area per cell = mask-cell area minus the
+     sum of covered areas (the relational form of
+     st_difference(mask, st_union(corine)), R/extract_corine.R:177-205);
+  6. A2 dissolve per code for geometry output;
+  7. J1 broadcast label join;
+  8. R8 checkpoints with lineage + resume at the cover and rollup stages.
+
+Assumes land-cover features are disjoint and lie within the mask (true of
+CORINE land-cover partitions; asserted by the Σ==mask-area invariant test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import params as P
+from .checkpoint import checkpoint
+from .cover import polygon_cell_cover
+from .dissolve import dissolve
+
+MISSING_CC = "MISSING_CC"        # R/extract_corine.R:191-193
+
+
+def extract_landcover(spark: SparkSession, landcover: DataFrame,
+                      mask_wkb: bytes,
+                      clc_labels: DataFrame | None = None,
+                      clc_filter: list[str] | None = None,
+                      hex_width: float = P.HEX_WIDTH,
+                      checkpoint_root: str | None = None,
+                      resume: bool = True) -> dict[str, DataFrame]:
+    """landcover: DataFrame(poly_id LONG, clc STRING, geom_wkb BINARY).
+    Returns {"cells": per-(cell, clc) areas incl. MISSING_CC rows,
+             "dissolved": per-clc union geometry + area (+labels)}."""
+    mode = "reuse" if resume else "overwrite"
+
+    # 1. pushdown-friendly filter + projection
+    lc = landcover.select("poly_id", "clc", "geom_wkb")
+    if clc_filter:
+        lc = lc.where(F.col("clc").isin(clc_filter))
+
+    # 2. planning counts (reference plans chunking from these,
+    #    R/extract_corine.R:63-78; we surface them for salting/telemetry)
+    plan = lc.groupBy("clc").agg(F.count(F.lit(1)).alias("n_features"))
+
+    # 3. cell covers (map-only)
+    cover = polygon_cell_cover(lc, hex_width=hex_width)
+    cover = cover.join(lc.select("poly_id", "clc"), "poly_id")
+    mask_df = spark.createDataFrame([(0, bytearray(mask_wkb))],
+                                    "poly_id LONG, geom_wkb BINARY")
+    mask_cover = polygon_cell_cover(mask_df, hex_width=hex_width) \
+        .select("cell_id", "q", "r", F.col("cover_area").alias("mask_area"))
+    if checkpoint_root:
+        cover = checkpoint(cover, checkpoint_root, "lc_cover",
+                           params={"hex_width": hex_width,
+                                   "clc_filter": clc_filter}, mode=mode)
+
+    # 4. per-(cell, clc) areas
+    per_cell = (cover.groupBy("cell_id", "clc")
+                .agg(F.sum("cover_area").alias("area")))
+
+    # 5. coverage gap: J10 as arithmetic on the covers
+    covered = per_cell.groupBy("cell_id").agg(F.sum("area").alias("covered"))
+    missing = (mask_cover.join(covered, "cell_id", "left")
+               .withColumn("gap", F.col("mask_area") - F.coalesce("covered", F.lit(0.0)))
+               .where(F.col("gap") > 1e-9)
+               .select("cell_id", F.lit(MISSING_CC).alias("clc"),
+                       F.col("gap").alias("area")))
+    cells = (per_cell.unionByName(missing)
+             .join(mask_cover.select("cell_id", "q", "r", "mask_area"), "cell_id"))
+    if checkpoint_root:
+        cells = checkpoint(cells, checkpoint_root, "lc_cells",
+                           params={"hex_width": hex_width,
+                                   "clc_filter": clc_filter}, mode=mode)
+
+    # 6. dissolve per code + 7. broadcast label join
+    dis = dissolve(lc, key="clc")
+    if clc_labels is not None:
+        dis = dis.join(F.broadcast(clc_labels), "clc", "left")
+
+    return {"cells": cells, "dissolved": dis, "plan": plan}
