@@ -149,8 +149,11 @@ def landuse_rollup_from_cover(cover: DataFrame,
     a category per polygon: sums exact cover areas per (cell, category) —
     the area-weighted rollup of R/generate_patches.R:252-326 expressed as
     one hash aggregation."""
+    from pyspark.sql.window import Window
     per_cat = (cover.groupBy("cell_id", "q", "r", category_col)
                .agg(F.sum("cover_area").alias("cat_area")))
-    tot = per_cat.groupBy("cell_id").agg(F.sum("cat_area").alias("lu_sum"))
-    return (per_cat.join(tot, "cell_id")
+    # per-cell total via a window instead of a self-join: a single lineage,
+    # so the cover UDF executes once (A6, R/generate_patches.R:313-314)
+    w = Window.partitionBy("cell_id")
+    return (per_cat.withColumn("lu_sum", F.sum("cat_area").over(w))
             .withColumn("proportion", F.col("cat_area") / F.col("lu_sum")))

@@ -66,6 +66,10 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
         cover = checkpoint(cover, checkpoint_root, "lc_cover",
                            params={"hex_width": hex_width,
                                    "clc_filter": clc_filter}, mode=mode)
+    else:
+        # the gap computation reads the cover twice (per-cell sums + union);
+        # keep the clip UDF single-execution
+        cover = cover.persist()
 
     # 4. per-(cell, clc) areas
     per_cell = (cover.groupBy("cell_id", "clc")

@@ -47,6 +47,72 @@ def streaming_cell_rollup(pages: DataFrame, window: str = "10 minutes",
                     "cell_id", "q", "r", "n_pages", "sum_chars"))
 
 
+def sessionize_stream(events: DataFrame, gap_minutes: float = 30.0,
+                      key: str = "user_id", ts: str = "ts") -> DataFrame:
+    """Custom stateful operator: gap-based sessionisation with
+    applyInPandasWithState (per-key state = open-session aggregate).
+
+    Emits one row per CLOSED session (a new event later than `gap` after
+    the previous one closes the open session); state times out with the
+    event-time watermark, closing trailing sessions.
+    Output: user_id, session_start, session_end, n_events.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    import datetime
+    import pandas as pd_
+
+    gap_us = int(gap_minutes * 60 * 1e6)
+    out_schema = (f"{key} LONG, session_start TIMESTAMP, "
+                  "session_end TIMESTAMP, n_events LONG")
+    state_schema = "start LONG, end LONG, n LONG"
+
+    def fn(key_tuple, batches, state: GroupState):
+        sessions = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, s1, n = state.get
+                sessions.append((key_tuple[0], s0, s1, n))
+                state.remove()
+        else:
+            rows = []
+            for pdf in batches:
+                rows.append(pdf[[ts]])
+            if rows:
+                all_ts = pd_.concat(rows)[ts].sort_values()
+                us = all_ts.values.astype("datetime64[us]").astype("int64")
+                if state.exists:
+                    s0, s1, n = state.get
+                else:
+                    s0, s1, n = us[0], us[0], 0
+                for t in us:
+                    if t - s1 > gap_us and n > 0:
+                        sessions.append((key_tuple[0], s0, s1, n))
+                        s0, n = t, 0
+                    s1 = max(s1, t)
+                    n += 1
+                state.update((int(s0), int(s1), int(n)))
+                state.setTimeoutTimestamp(int(s1 // 1000) + int(gap_us // 1000))
+        cols = [key, "session_start", "session_end", "n_events"]
+        if sessions:
+            df = pd_.DataFrame(sessions, columns=cols)
+            for c in ("session_start", "session_end"):
+                df[c] = pd_.to_datetime(df[c], unit="us")
+            yield df
+        else:
+            yield pd_.DataFrame({key: pd_.Series([], dtype="int64"),
+                                 "session_start": pd_.Series([], dtype="datetime64[us]"),
+                                 "session_end": pd_.Series([], dtype="datetime64[us]"),
+                                 "n_events": pd_.Series([], dtype="int64")})
+
+    return (events.withWatermark(ts, f"{int(gap_minutes * 2)} minutes")
+            .groupBy(key)
+            .applyInPandasWithState(fn, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def run_available_now(result: DataFrame, checkpoint_dir: str,
                       out_dir: str) -> None:
     """Drain everything currently available and stop (deterministic test/

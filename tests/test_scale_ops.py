@@ -123,6 +123,78 @@ def test_streaming_equals_batch(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_streaming_drops_late_data(spark, tmp_path):
+    """A second micro-batch with events older than the advanced watermark
+    must not resurrect closed windows (late-data semantics)."""
+    import pyspark.sql.functions as F2
+    from hexscape_spark.streaming import (run_available_now, stream_pages,
+                                          streaming_cell_rollup)
+    from hexscape_spark.synth import pages
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: page_ids 0..2999 span ~5.8h of warc_ts
+    pages(spark, 3000, num_partitions=2).write.mode("append").parquet(src)
+    res = streaming_cell_rollup(stream_pages(spark, src), window="1 hour",
+                                watermark="1 hour")
+    run_available_now(res, ckpt, out)
+    n1 = spark.read.parquet(out).count()
+    # batch 2: re-append the OLDEST rows (hours behind the watermark)
+    pages(spark, 50, num_partitions=1).write.mode("append").parquet(src)
+    res2 = streaming_cell_rollup(stream_pages(spark, src), window="1 hour",
+                                 watermark="1 hour")
+    run_available_now(res2, ckpt, out)
+    after = spark.read.parquet(out)
+    # no closed (already-emitted) window may appear twice
+    dupes = (after.groupBy("window_start", "cell_id")
+             .agg(F2.count(F2.lit(1)).alias("c")).where("c > 1").count())
+    assert dupes == 0
+    assert after.count() >= n1
+
+
+def test_sessionize_stream_matches_batch_oracle(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch lag/cumsum sessionization
+    for all sessions the stream has CLOSED (gap semantics)."""
+    import pyspark.sql.functions as F2
+    from pyspark.sql.window import Window
+    from hexscape_spark.streaming import run_available_now, sessionize_stream
+    src, out, ckpt = (str(tmp_path / d) for d in ("s", "o", "c"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id", "ts")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+    run_available_now(sessionize_stream(stream, gap_minutes=120.0), ckpt, out)
+    got = spark.read.parquet(out).toPandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F2.lag("ts").over(w)
+    gap_new = F2.when(
+        F2.expr("timestampdiff(SECOND, prev, ts)") > 120 * 60, 1).otherwise(0)
+    ev = ev.withColumn("prev", prev)
+    batch = (ev.withColumn("new_s", F2.when(F2.col("prev").isNull(),
+                                            F2.lit(1)).otherwise(gap_new))
+             .withColumn("sid", F2.sum("new_s").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("user_id", "sid")
+             .agg(F2.min("ts").alias("session_start"),
+                  F2.max("ts").alias("session_end"),
+                  F2.count(F2.lit(1)).alias("n_events"))
+             .toPandas())
+    want = batch.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    # the stream only emits sessions CLOSED by a later event or timeout at
+    # stream end; with availableNow every session except possibly each
+    # user's last open one is closed — compare the common prefix per user
+    gw = got.groupby("user_id")
+    for uid, grp in want.groupby("user_id"):
+        g = gw.get_group(uid) if uid in gw.groups else grp.iloc[0:0]
+        n = len(g)
+        assert n >= len(grp) - 1, (uid, n, len(grp))
+        cmp = grp.iloc[:n]
+        assert (g.session_start.values == cmp.session_start.values).all()
+        assert (g.n_events.values == cmp.n_events.values).all()
+
+
 def test_checkpoint_reuse_and_invalidation(spark, tmp_path):
     """R8: checkpoint reuses on identical params, recomputes on change."""
     from hexscape_spark.checkpoint import checkpoint, read_manifest
