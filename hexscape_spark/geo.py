@@ -240,6 +240,157 @@ def area_polygons_in_convex(polys: list[list[np.ndarray]], clip_ccw: np.ndarray)
     return total
 
 
+# --- exact multi-component convex clipping -------------------------------------
+#
+# Sutherland–Hodgman (above) returns ONE ring whose area is exact but which
+# connects disconnected pieces with zero-width bridges.  For split-patch
+# semantics (st_cast(..., "POLYGON") after clipping, R/generate_patches.R:
+# 160,182 and the F3 polygon-with-hole fixture) we need the actual
+# components.  clip_polygon_components clips a polygon-with-holes by each
+# half-plane of a convex window, maintaining a SET of rings: chains inside
+# the half-plane are stitched back together along the cut line using the
+# parity rule (region membership along the cut line alternates at each
+# boundary crossing), which splits and merges components exactly.
+
+def _clip_rings_halfplane(rings: list[np.ndarray], a: np.ndarray,
+                          b: np.ndarray) -> list[np.ndarray]:
+    """Clip a set of oriented rings (outers CCW, holes CW) to the left
+    half-plane of the directed line a->b. Returns closed rings."""
+    ex, ey = b[0] - a[0], b[1] - a[1]
+
+    def side(pts):
+        return ex * (pts[:, 1] - a[1]) - ey * (pts[:, 0] - a[0])
+
+    chains = []          # open chains: list[np.ndarray], endpoints on line
+    closed = []          # rings untouched by the line
+    eps = 1e-12 * max(abs(ex), abs(ey), 1.0)
+    for ring in rings:
+        s = side(ring)
+        if (s >= -eps).all():
+            closed.append(ring)
+            continue
+        if (s <= eps).all():
+            continue
+        n = len(ring)
+        # walk, emitting chains of inside vertices bounded by crossings
+        cur: list[np.ndarray] = []
+        ring_chains = []
+        for j in range(n):
+            p, q = ring[j], ring[(j + 1) % n]
+            sp, sq = s[j], s[(j + 1) % n]
+            if sp >= 0:
+                cur.append(p)
+            if (sp >= 0) != (sq >= 0):
+                t = sp / (sp - sq)
+                ip = p + t * (q - p)
+                if sp >= 0:          # leaving: close chain at ip
+                    cur.append(ip)
+                    ring_chains.append(np.array(cur))
+                    cur = []
+                else:                # entering: start new chain at ip
+                    cur = [ip]
+        if cur:
+            # wrap-around: the walk started mid-chain; prepend to first
+            if ring_chains and s[0] >= 0:
+                ring_chains[0] = np.vstack([np.array(cur), ring_chains[0]])
+            elif cur and len(cur) >= 2:
+                ring_chains.append(np.array(cur))
+        chains.extend(c for c in ring_chains if len(c) >= 2)
+
+    if not chains:
+        return closed
+
+    # stitch chains along the cut line by parity
+    # param t along the line of each chain's start/end
+    def t_of(p):
+        return (p[0] - a[0]) * ex + (p[1] - a[1]) * ey
+
+    events = []          # (t, chain_idx, is_start)
+    for i, c in enumerate(chains):
+        events.append((t_of(c[0]), i, True))
+        events.append((t_of(c[-1]), i, False))
+    events.sort(key=lambda e: e[0])
+    # pair consecutive events: segment between event 2k and 2k+1 is inside
+    next_from_end: dict[int, int] = {}   # chain idx (at its END) -> next chain idx (START)
+    pend = None
+    for k in range(0, len(events) - 1, 2):
+        e1, e2 = events[k], events[k + 1]
+        # the interior gap runs from e1 to e2; the chain that ENDS at one
+        # side connects to the chain that STARTS at the other
+        if not e1[2] and e2[2]:
+            next_from_end[e1[1]] = e2[1]
+        elif not e2[2] and e1[2]:
+            next_from_end[e2[1]] = e1[1]
+        elif not e1[2] and not e2[2]:
+            # two ends meet: happens when a hole touches the line; join by
+            # reversing one chain — rare, handle by direct pairing
+            next_from_end[e1[1]] = e2[1]
+        else:
+            pend = (e1, e2)
+        # (two starts pairing is symmetric and resolved via the other pairs)
+    out = list(closed)
+    used = set()
+    for start in range(len(chains)):
+        if start in used:
+            continue
+        ring_pts = [chains[start]]
+        used.add(start)
+        cur = start
+        guard = 0
+        while guard < len(chains) + 1:
+            guard += 1
+            nxt = next_from_end.get(cur)
+            if nxt is None or nxt == start:
+                break
+            if nxt in used:
+                break
+            ring_pts.append(chains[nxt])
+            used.add(nxt)
+            cur = nxt
+        ring = np.vstack(ring_pts)
+        # drop duplicate consecutive points
+        keep = np.ones(len(ring), dtype=bool)
+        keep[1:] = (np.abs(np.diff(ring, axis=0)).sum(axis=1) > 1e-12)
+        ring = ring[keep]
+        if len(ring) >= 3:
+            out.append(ring)
+    return out
+
+
+def clip_polygon_components(polygon: list[np.ndarray],
+                            clip_ccw: np.ndarray) -> list[list[np.ndarray]]:
+    """Exact polygon-with-holes ∩ convex window, returned as CONNECTED
+    COMPONENTS (list of polygons, each outer+holes).  Orientation contract:
+    input outer CCW, holes CW; output preserves it."""
+    rings = [ensure_ccw(polygon[0])]
+    for h in polygon[1:]:
+        hh = ensure_ccw(h)[::-1]          # holes clockwise
+        rings.append(hh)
+    n = len(clip_ccw)
+    for i in range(n):
+        rings = _clip_rings_halfplane(rings, clip_ccw[i], clip_ccw[(i + 1) % n])
+        if not rings:
+            return []
+    outers = [(r, abs(ring_area_signed(r))) for r in rings
+              if ring_area_signed(r) > 0]
+    holes = [r for r in rings if ring_area_signed(r) < 0]
+    # assign each hole to the smallest containing outer
+    comps: list[list[np.ndarray]] = [[o] for o, _ in
+                                     sorted(outers, key=lambda t: -t[1])]
+    for h in holes:
+        px, py = h[0, 0:1], h[0, 1:2]
+        best = None
+        best_area = None
+        for idx, comp in enumerate(comps):
+            if points_in_ring(px, py, comp[0])[0]:
+                area = abs(ring_area_signed(comp[0]))
+                if best is None or area < best_area:
+                    best, best_area = idx, area
+        if best is not None:
+            comps[best].append(h)
+    return comps
+
+
 # --- point in polygon ----------------------------------------------------------
 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -305,19 +456,13 @@ def dist_points_to_polygons(px: np.ndarray, py: np.ndarray,
 
 # --- segment ∩ polygon 1-D measure (border lengths) -------------------------------
 
-def segment_length_in_polygons(p0: np.ndarray, p1: np.ndarray,
-                               polys: list[list[np.ndarray]]) -> float:
-    """Length of the part of segment p0-p1 lying inside the (multi)polygon.
-
-    Exact replacement for the reference's buffered-intersection border
-    estimate  Border = area(buffer(g1) ∩ buffer(g2)) / (2*buffer_dist)
-    (R/generate_neighbours.R:100-133): as buffer_dist -> 0 that quantity
-    converges to the shared-edge length computed here.
-    """
+def segment_intervals_in_polygons(p0: np.ndarray, p1: np.ndarray,
+                                  polys: list[list[np.ndarray]]
+                                  ) -> list[tuple[float, float]]:
+    """Parameter intervals t ∈ [0,1] of segment p0-p1 inside the polygons."""
     seg = p1 - p0
-    seg_len = float(np.hypot(*seg))
-    if seg_len == 0.0:
-        return 0.0
+    if float(np.hypot(*seg)) == 0.0:
+        return []
     ts = [0.0, 1.0]
     for poly in polys:
         for ring in poly:
@@ -334,14 +479,45 @@ def segment_length_in_polygons(p0: np.ndarray, p1: np.ndarray,
             mask = (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
             ts.extend(t[mask].tolist())
     ts = sorted(set(ts))
-    total = 0.0
+    out = []
     for i in range(len(ts) - 1):
         mid = 0.5 * (ts[i] + ts[i + 1])
         mx = np.array([p0[0] + mid * seg[0]])
         my = np.array([p0[1] + mid * seg[1]])
         if points_in_polygons(mx, my, polys)[0]:
-            total += (ts[i + 1] - ts[i]) * seg_len
+            out.append((ts[i], ts[i + 1]))
+    return out
+
+
+def intervals_intersect_length(a: list[tuple[float, float]],
+                               b: list[tuple[float, float]]) -> float:
+    """Total overlap of two interval lists (each sorted, disjoint)."""
+    total = 0.0
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if hi > lo:
+            total += hi - lo
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
     return total
+
+
+def segment_length_in_polygons(p0: np.ndarray, p1: np.ndarray,
+                               polys: list[list[np.ndarray]]) -> float:
+    """Length of the part of segment p0-p1 lying inside the (multi)polygon.
+
+    Exact replacement for the reference's buffered-intersection border
+    estimate  Border = area(buffer(g1) ∩ buffer(g2)) / (2*buffer_dist)
+    (R/generate_neighbours.R:100-133): as buffer_dist -> 0 that quantity
+    converges to the shared-edge length computed here.
+    """
+    seg_len = float(np.hypot(*(p1 - p0)))
+    return seg_len * sum(t1 - t0 for t0, t1 in
+                         segment_intervals_in_polygons(p0, p1, polys))
 
 
 # --- simplification -----------------------------------------------------------------

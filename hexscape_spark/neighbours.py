@@ -57,7 +57,10 @@ def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
     hexarea = P.hex_area(hex_width)
     hexlth = P.hex_side(hex_width)
 
-    base = patches.select("Index", "q", "r", "area", "hex_cx", "hex_cy")
+    has_geom = "geom_wkb" in patches.columns
+    cols = ["Index", "q", "r", "area", "hex_cx", "hex_cy"] + \
+        (["geom_wkb"] if has_geom else [])
+    base = patches.select(*cols)
     offs = F.broadcast(offsets_df(spark))
 
     shifted = (base.crossJoin(offs)
@@ -65,6 +68,7 @@ def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
                        (F.col("r") + F.col("dr")).alias("r"),
                        F.col("Index").alias("Neighbour"),
                        F.col("area").alias("nb_area"),
+                       *([F.col("geom_wkb").alias("nb_geom")] if has_geom else []),
                        F.col("direction").alias("_rev_dir")))
     # direction seen FROM the source patch = opposite of the shift we applied
     flip = {"NE": "SW", "SW": "NE", "NW": "SE", "SE": "NW", "E": "W", "W": "E"}
@@ -89,6 +93,9 @@ def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
     schema = ("Index LONG, Neighbour LONG, Border DOUBLE, Direction STRING, "
               "nb_area DOUBLE")
 
+    use_geom = has_geom
+    eps = 1e-7 * hex_width
+
     def border_lengths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ls = geo.wkb_to_polygons(ls_bytes)
         eo = _edge_offsets(w_)
@@ -103,7 +110,30 @@ def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
                 (ax, ay), (bx, by) = eo[dirs[i]]
                 p0 = np.array([cx[i] + ax, cy[i] + ay])
                 p1 = np.array([cx[i] + bx, cy[i] + by])
-                borders[i] = geo.segment_length_in_polygons(p0, p1, ls)
+                if use_geom:
+                    # per-part geometries: the shared border is where the
+                    # edge has the SOURCE part on its inside side and the
+                    # NEIGHBOUR part on its outside side — measured by
+                    # nudging the edge eps into each cell and intersecting
+                    # the inside intervals (exact for split patches)
+                    src = geo.wkb_to_polygons(bytes(pdf["geom_wkb"].iloc[i]))
+                    nb = geo.wkb_to_polygons(bytes(pdf["nb_geom"].iloc[i]))
+                    edge = p1 - p0
+                    nrm = np.array([-edge[1], edge[0]])
+                    nrm = nrm / np.hypot(*nrm)
+                    # orient nrm toward the source hex centroid
+                    mid = 0.5 * (p0 + p1)
+                    to_src = np.array([cx[i], cy[i]]) - mid
+                    if np.dot(nrm, to_src) < 0:
+                        nrm = -nrm
+                    iv_src = geo.segment_intervals_in_polygons(
+                        p0 + eps * nrm, p1 + eps * nrm, src)
+                    iv_nb = geo.segment_intervals_in_polygons(
+                        p0 - eps * nrm, p1 - eps * nrm, nb)
+                    borders[i] = geo.intervals_intersect_length(iv_src, iv_nb) \
+                        * float(np.hypot(*edge))
+                else:
+                    borders[i] = geo.segment_length_in_polygons(p0, p1, ls)
             out = pdf[["Index", "Neighbour"]].copy()
             out["Border"] = borders
             out["Direction"] = pdf["Direction"].to_numpy()

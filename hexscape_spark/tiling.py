@@ -90,7 +90,8 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
     thresh = hexhgt / 1.9                     # R/generate_patches.R:105-107
     min_area = min_prop * hexarea
 
-    out_fields = ("q LONG, r LONG, cell_id LONG, hex_cx DOUBLE, hex_cy DOUBLE, "
+    out_fields = ("q LONG, r LONG, cell_id LONG, `__part` INT, "
+                  "hex_cx DOUBLE, hex_cy DOUBLE, "
                   "area DOUBLE, centroid_x DOUBLE, centroid_y DOUBLE, "
                   "geom_wkb BINARY, __imp DOUBLE, "
                   + ", ".join(f"`__cat_{i}` DOUBLE" for i in range(len(cat_names))))
@@ -114,42 +115,70 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                 continue
             cx, cy = cx[keep], cy[keep]
             n = len(pdf)
-            area = np.zeros(n)
-            imp_area = np.zeros(n)
-            ctx = np.zeros(n)
-            cty = np.zeros(n)
-            wkbs: list[bytes | None] = [None] * n
-            cat_areas = np.zeros((n, len(cats)))
+            rows: list[tuple] = []
+            qv = pdf["q"].to_numpy()
+            rv = pdf["r"].to_numpy()
+            cv = pdf["cell_id"].to_numpy()
             for i in range(n):
                 hexring = _hex_ring(cx[i], cy[i], w_)
-                clipped_polys = []
+                # exact connected components of hex ∩ landscape — split
+                # patches get their own rows (st_cast POLYGON semantics,
+                # R/generate_patches.R:160,182)
+                comps: list[list[np.ndarray]] = []
                 for poly in ls:
-                    clipped = geo.clip_polygon_to_convex(poly, hexring)
-                    if clipped:
-                        clipped_polys.append(clipped)
-                if not clipped_polys:
+                    comps.extend(geo.clip_polygon_components(poly, hexring))
+                if not comps:
                     continue
-                a = geo.polygons_area(clipped_polys)
-                # impassable subtraction (area only): R/generate_patches.R:158-166
+                infos = []
+                for comp in comps:
+                    a = geo.polygon_area(comp)
+                    if a <= 0:
+                        continue
+                    ccx, ccy = geo.polygons_centroid([comp])
+                    infos.append([a, ccx, ccy, comp, 0.0])
+                if not infos:
+                    continue
+                # impassable subtraction (area only): each impassable piece
+                # is charged to the component containing its centroid
+                # (exact when impassable ⊂ one component)
                 for ip in imps:
-                    imp_area[i] += geo.area_polygons_in_convex(ip, hexring)
-                a -= imp_area[i]
-                area[i] = a
-                if a <= 0:
-                    continue
-                ctx[i], cty[i] = geo.polygons_centroid(clipped_polys)
-                wkbs[i] = geo.multipolygon_to_wkb(clipped_polys)
-                for k, cp in enumerate(cats):
-                    cat_areas[i, k] = geo.area_polygons_in_convex(cp, hexring)
-            res = pd.DataFrame({
-                "q": pdf["q"].to_numpy(), "r": pdf["r"].to_numpy(),
-                "cell_id": pdf["cell_id"].to_numpy(),
-                "hex_cx": cx, "hex_cy": cy, "area": area,
-                "centroid_x": ctx, "centroid_y": cty,
-                "geom_wkb": wkbs, "__imp": imp_area,
-            })
-            for k in range(len(cats)):
-                res[f"__cat_{k}"] = cat_areas[:, k]
+                    for ipc in (geo.clip_polygon_components(p, hexring)
+                                for p in ip):
+                        for piece in ipc:
+                            pa = geo.polygon_area(piece)
+                            if pa <= 0:
+                                continue
+                            px_, py_ = geo.polygons_centroid([piece])
+                            tgt = None
+                            for info in infos:
+                                if geo.points_in_polygons(
+                                        np.array([px_]), np.array([py_]),
+                                        [info[3]])[0]:
+                                    tgt = info
+                                    break
+                            if tgt is None:
+                                tgt = max(infos, key=lambda x: x[0])
+                            tgt[4] += pa
+                # category areas: exact for single-component cells; for the
+                # rare split cells, distributed by component-area share
+                # (documented divergence; reference clips per split patch)
+                cat_cell = [geo.area_polygons_in_convex(cp, hexring)
+                            for cp in cats]
+                total_a = sum(info[0] for info in infos)
+                # deterministic part order: area desc, then centroid
+                infos.sort(key=lambda x: (-x[0], x[1], x[2]))
+                for part, info in enumerate(infos):
+                    a, ccx, ccy, comp, imp_a = info
+                    net = a - imp_a
+                    share = a / total_a if total_a > 0 else 0.0
+                    rows.append((
+                        qv[i], rv[i], cv[i], part, cx[i], cy[i], net,
+                        ccx, ccy, geo.polygon_to_wkb(comp), imp_a,
+                        *[c * share for c in cat_cell]))
+            cols = ["q", "r", "cell_id", "__part", "hex_cx", "hex_cy",
+                    "area", "centroid_x", "centroid_y", "geom_wkb", "__imp",
+                    *[f"__cat_{k}" for k in range(len(cats))]]
+            res = pd.DataFrame(rows, columns=cols)
             # keep sub-threshold rows that carry impassable area so the
             # add_removed aggregate (R/generate_patches.R:169-177) is exact
             yield res[(res["area"] >= min_area) | (res["__imp"] > 0.0)]
@@ -162,8 +191,10 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
     patches = clipped_all.where(F.col("area") >= min_area)
 
     # dense Index over (q, r): exact reference ordering (is.na first is moot
-    # here — removed/impassable rows are not emitted).
-    patches = dense_index(patches, ["q", "r"], out="Index")
+    # here — removed/impassable rows are not emitted).  Split parts within a
+    # cell get consecutive indices in deterministic (area desc) part order.
+    patches = dense_index(patches, ["q", "r", "__part"], out="Index") \
+        .drop("__part")
 
     # ---- land-use proportions + wide LU_* columns --------------------------
     if cat_names:

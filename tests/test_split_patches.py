@@ -1,0 +1,93 @@
+"""F3 split-patch fixture: polygon with a hole cutting hexes into parts
+(notebooks/example_for_mossa.R:9-44, notebooks/row_column.R:18-20)."""
+
+import numpy as np
+import pytest
+
+from hexscape_spark import geo, params as P
+from hexscape_spark.neighbours import generate_neighbours
+from hexscape_spark.tiling import generate_patches
+
+OUTER = np.array([[0, 0], [10, 0], [30, 20], [20, 40], [10, 40]], float)
+HOLE = np.array([[10, 10], [10, 20], [20, 20]], float)
+HEXW = 5.0
+REF = (0.0, 40.0)
+
+
+@pytest.fixture(scope="module")
+def split_setup(spark):
+    land = geo.polygon_to_wkb([OUTER, HOLE])
+    p = generate_patches(spark, land, hex_width=HEXW, reference_point=REF,
+                         min_prop=0.01, keep_geometry=True).persist()
+    p.count()
+    return land, p
+
+
+def test_total_area_conserved(split_setup):
+    _, p = split_setup
+    want = abs(geo.ring_area_signed(OUTER)) - abs(geo.ring_area_signed(HOLE))
+    got = p.toPandas().area.sum()
+    # min_prop drops tiny fragments; conservation within that tolerance
+    assert got == pytest.approx(want, rel=0.02)
+
+
+def test_split_patches_share_qr_distinct_index(split_setup):
+    """Reference golden fact: patches split by the landscape share (q, r)
+    but get distinct Index values (notebooks/example_for_mossa.R:27-33)."""
+    _, p = split_setup
+    pdf = p.toPandas()
+    dup = pdf.groupby(["q", "r"]).size()
+    split_cells = dup[dup > 1]
+    assert len(split_cells) >= 1, "fixture must produce at least one split"
+    for (q, r), _ in split_cells.items():
+        idxs = pdf[(pdf.q == q) & (pdf.r == r)].Index
+        assert idxs.is_unique
+    # index remains dense 1..n
+    assert (np.sort(pdf.Index.values) == np.arange(1, len(pdf) + 1)).all()
+
+
+def test_split_parts_are_disjoint_components(split_setup):
+    _, p = split_setup
+    pdf = p.toPandas()
+    dup = pdf.groupby(["q", "r"]).size()
+    for (q, r), _ in dup[dup > 1].items():
+        parts = pdf[(pdf.q == q) & (pdf.r == r)]
+        # each part's centroid lies inside its own geometry only
+        geoms = [geo.wkb_to_polygons(bytes(w)) for w in parts.geom_wkb]
+        for i, (_, row) in enumerate(parts.iterrows()):
+            for j, g in enumerate(geoms):
+                inside = geo.points_in_polygons(
+                    np.array([row.centroid_x]), np.array([row.centroid_y]), g)[0]
+                assert inside == (i == j), (q, r, i, j)
+
+
+def test_seven_neighbours_exist(split_setup):
+    """Reference golden fact: split patches create a patch with 7
+    neighbours (notebooks/example_for_mossa.R:43-44)."""
+    land, p = split_setup
+    nb = generate_neighbours(p, land, hex_width=HEXW).toPandas()
+    counts = nb.groupby("Index").size()
+    assert counts.max() >= 7, counts.sort_values().tail()
+    # symmetry still holds
+    pairs = set(zip(nb.Index, nb.Neighbour))
+    assert all((b, a) in pairs for a, b in pairs)
+    # parts of the same (q,r) are NOT each other's neighbours (offsets
+    # exclude (0,0), matching the reference join)
+    pdf = p.toPandas()
+    by_cell = pdf.groupby(["q", "r"]).Index.apply(list)
+    for idxs in by_cell:
+        for a in idxs:
+            for b in idxs:
+                if a != b:
+                    assert (a, b) not in pairs
+
+
+def test_borders_use_part_geometry(split_setup):
+    """Each edge's border length can't exceed the hex side, and borders to
+    split parts are strictly smaller than the full side where the hole cuts
+    the shared edge."""
+    land, p = split_setup
+    nb = generate_neighbours(p, land, hex_width=HEXW).toPandas()
+    side = P.hex_side(HEXW)
+    assert (nb.Border <= side + 1e-9).all()
+    assert (nb.Border > 0.01 * side).all()
