@@ -611,6 +611,21 @@ def _q_patches_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[F.round(c, 9).alias(c) for c in lu])
 
 
+def _q_patches_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 split-patch fixture: polygon with a hole; split parts share (q,r)
+    with distinct Index (rows-only; golden facts in test_split_patches.py)."""
+    import numpy as np
+    from hexscape_spark import geo
+    from hexscape_spark.tiling import generate_patches
+    outer = np.array([[0, 0], [10, 0], [30, 20], [20, 40], [10, 40]], float)
+    hole = np.array([[10, 10], [10, 20], [20, 20]], float)
+    land = geo.polygon_to_wkb([outer, hole])
+    p = generate_patches(spark, land, hex_width=5.0, reference_point=(0.0, 40.0))
+    return p.select("Index", "q", "r", F.round("area", 9).alias("area_r"),
+                    F.round("centroid_x", 9).alias("cx_r"),
+                    F.round("centroid_y", 9).alias("cy_r"))
+
+
 def _q_neighbours_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hexscape_spark import geo
     from hexscape_spark.neighbours import generate_neighbours
@@ -632,6 +647,13 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     from hexscape_spark.similarity import cosine_topk_lsh
     return cosine_topk_lsh(spark.table("embeddings"), planes=6)
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (rows-only; recall/exactness pytest-verified)."""
+    _views(spark, sf_dir)
+    from hexscape_spark.similarity import cosine_topk_ivf
+    return cosine_topk_ivf(spark.table("embeddings"), n_lists=8, nprobe=2)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,10 +886,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_stats": _q_label_stats,
         # geometry kernel (pytest-verified; rows-only check here)
         "patches_square": _q_patches_square,
+        "patches_hole": _q_patches_hole,
         "patches_landuse": _q_patches_landuse,
         "neighbours_square": _q_neighbours_square,
         "minhash_pairs": _q_minhash_pairs,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "media_features": _q_media_features,
         "bfs_hops": _q_bfs_hops,
         "cover_landuse": _q_cover_landuse,

@@ -454,6 +454,30 @@ def dist_points_to_polygons(px: np.ndarray, py: np.ndarray,
     return d
 
 
+def polygons_distance(a: list[list[np.ndarray]],
+                      b: list[list[np.ndarray]]) -> float:
+    """Min distance between two (multi)polygons (0 if they touch/overlap).
+
+    st_distance(areal, areal) analogue (R/generate_connectedness.R:48):
+    boundary-to-boundary minimum is attained at a vertex-segment pair;
+    overlap is detected by mutual vertex containment.
+    """
+    av = np.vstack([r for poly in a for r in poly])
+    bv = np.vstack([r for poly in b for r in poly])
+    if points_in_polygons(av[:, 0], av[:, 1], b).any():
+        return 0.0
+    if points_in_polygons(bv[:, 0], bv[:, 1], a).any():
+        return 0.0
+    d = np.inf
+    for poly in b:
+        for ring in poly:
+            d = min(d, float(dist_points_to_segments(av[:, 0], av[:, 1], ring).min()))
+    for poly in a:
+        for ring in poly:
+            d = min(d, float(dist_points_to_segments(bv[:, 0], bv[:, 1], ring).min()))
+    return d
+
+
 # --- segment ∩ polygon 1-D measure (border lengths) -------------------------------
 
 def segment_intervals_in_polygons(p0: np.ndarray, p1: np.ndarray,

@@ -73,6 +73,75 @@ def with_lsh_bucket(df: DataFrame, vec: str = "embedding", planes: int = 12,
     return df.withColumn(out, acc)
 
 
+def ivf_train_centroids(df: DataFrame, vec: str = "embedding",
+                        n_lists: int = 16, dim: int = 64, seed: int = 42,
+                        sample: int = 4096) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids trained driver-side on a
+    deterministic sample (the scale-standard approach — the quantizer is
+    tiny; the corpus never leaves the executors)."""
+    import numpy as np
+    rows = (with_unit_norm(df, vec).select("unit_vec")
+            .limit(sample).collect())
+    x = np.array([r["unit_vec"] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(25):
+        sims = x @ centers.T
+        assign = sims.argmax(axis=1)
+        new = np.vstack([
+            x[assign == k].mean(axis=0) if (assign == k).any() else centers[k]
+            for k in range(len(centers))])
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        new = new / np.where(norms == 0, 1.0, norms)
+        if np.allclose(new, centers, atol=1e-9):
+            break
+        centers = new
+    return [c.tolist() for c in centers]
+
+
+def with_ivf_list(df: DataFrame, centroids: list[list[float]],
+                  vec: str = "unit_vec", out: str = "ivf_list",
+                  nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its nprobe nearest coarse centroids (array of
+    list ids) — pure JVM expressions over broadcast centroid literals."""
+    sims = F.array(*[
+        F.aggregate(F.zip_with(F.col(vec),
+                               F.array(*[F.lit(v) for v in c]),
+                               lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, v: acc + v)
+        for c in centroids])
+    idx = F.array_sort(
+        F.zip_with(sims, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                   lambda s, i: F.struct((-s).alias("neg"), i.alias("i"))))
+    lists = F.slice(F.transform(idx, lambda st: st["i"]), 1, nprobe)
+    return df.withColumn(out, lists)
+
+
+def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
+                    vec: str = "embedding", k: int = 5, n_lists: int = 16,
+                    nprobe: int = 2, dim: int = 64,
+                    seed: int = 42) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid (1 list), queries probe
+    their nprobe nearest lists; candidate generation is an equi-join on
+    list id — the classic inverted-file layout, shuffle-partitioned by
+    list.  Recall grows with nprobe; exact within probed lists."""
+    cents = ivf_train_centroids(df, vec, n_lists, dim, seed)
+    u = with_unit_norm(df, vec)
+    corpus = with_ivf_list(u, cents, nprobe=1).select(
+        F.col(key).alias("nn_id"), F.col("unit_vec").alias("cv"),
+        F.element_at("ivf_list", 1).alias("list_id"))
+    queries = with_ivf_list(u, cents, nprobe=nprobe).select(
+        F.col(key).alias("query_id"), F.col("unit_vec").alias("qv"),
+        F.explode("ivf_list").alias("list_id"))
+    scored = (queries.join(corpus, on="list_id")
+              .where(F.col("query_id") != F.col("nn_id"))
+              .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
+              .select("query_id", "nn_id", "cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
                     vec: str = "embedding", k: int = 5, planes: int = 8,
                     dim: int = 64) -> DataFrame:

@@ -17,12 +17,17 @@ polygon layers are broadcast when small (the reference's regime) — the
 cell-cover equi-join path for continent-scale layers lives in cover_join().
 All geometry math is geo.py NumPy over WKB; nothing is per-row Python.
 
+Split patches (one (q,r) cell cut into disconnected pieces by the
+landscape) produce one row per exact connected component
+(geo.clip_polygon_components), sharing (q,r) with distinct dense Index —
+the reference's st_cast-to-POLYGON semantics (F3 fixture golden facts in
+tests/test_split_patches.py).
+
 Simplifying assumptions vs the reference, asserted in tests:
   * land_use categories are mutually disjoint and lie within the landscape
     (true of CORINE land-cover partitions the reference consumes);
-  * split patches (one (q,r) cell cut into multiple disconnected pieces)
-    keep a single row — areas and rollups are exact, Index parity for split
-    fixtures is future work (SURVEY.md §7.3).
+  * for split cells, category areas are distributed across components by
+    area share (exact for single-component cells — the vast majority).
 """
 
 from __future__ import annotations

@@ -175,30 +175,65 @@ def randomise_voronoi(spark: SparkSession, map_wkb: bytes, points: DataFrame,
                       randomise_size: int = 5,
                       sample_probs: tuple[float, ...] = (0.1, 0.01, 0.001),
                       seed: int = 42, max_tries: int = 3,
+                      from_type: str = "point", to_type: str = "centroid",
+                      mask_landscape: bool = False,
                       idx: str = "Index", x: str = "x", y: str = "y") -> DataFrame:
     """Anonymise point locations by resampling within the k nearest Voronoi
-    cells (R/randomise_voronoi.R:38-251, defaults from_type='point',
-    to_type='centroid', mask_landscape=FALSE).
+    cells (R/randomise_voronoi.R:38-251; defaults from_type='point',
+    to_type='centroid', mask_landscape=FALSE, exactly the reference's).
 
-    Distributed parts: Voronoi cells + per-cell sample pools (pandas UDF
-    stages).  The no-replacement weighted assignment is order-dependent by
-    construction (each pick consumes a sample) and runs driver-side over the
-    bounded collected candidate table (n_points x sample_size rows),
-    seeded — exactly the concession the reference's own loop makes
-    (R/randomise_voronoi.R:199-227, SURVEY §7.3 item 4).
+    from_type/to_type ∈ {point, centroid, voronoi} choose the distance basis
+    for the kNN candidate ranking (:113-133); voronoi uses polygon-polygon
+    distances; mask_landscape clips cells to the map BEFORE distances
+    (:104-111).  Distributed parts: Voronoi cells + per-cell sample pools
+    (pandas UDF stages).  The no-replacement weighted assignment is
+    order-dependent by construction (each pick consumes a sample) and runs
+    driver-side over the bounded collected candidate table
+    (n_points x sample_size rows), seeded — the same concession the
+    reference's own loop makes (:199-227, SURVEY §7.3 item 4).
     """
+    assert from_type in ("point", "centroid", "voronoi")
+    assert to_type in ("point", "centroid", "voronoi")
     sample_size = len(sample_probs)
+    # mask_landscape=False ranks distances on bbox-envelope cells
+    # (:100-102); the sample pools always use map-masked cells (:180-185)
+    bbox = geo.polygons_bounds(geo.wkb_to_polygons(map_wkb))
+    env_wkb = geo.rect_wkb(*bbox)
     vor = discretise_voronoi(spark, map_wkb, points, idx=idx, x=x, y=y)
-    vor_pd = vor.select(idx, x, y, "centroid_x", "centroid_y").toPandas() \
-        .sort_values(idx).reset_index(drop=True)
+    dist_vor = vor if mask_landscape else \
+        discretise_voronoi(spark, env_wkb, points, idx=idx, x=x, y=y)
+    vor_pd = dist_vor.toPandas().sort_values(idx).reset_index(drop=True)
     n = len(vor_pd)
 
     # rank-distance candidate sets (W1: ties broken by seeded randomness)
-    fx = vor_pd[x].to_numpy()
-    fy = vor_pd[y].to_numpy()
-    tx = vor_pd["centroid_x"].to_numpy()
-    ty = vor_pd["centroid_y"].to_numpy()
-    dist = np.hypot(fx[:, None] - tx[None, :], fy[:, None] - ty[None, :])
+    def basis(kind):
+        if kind == "point":
+            return vor_pd[x].to_numpy(), vor_pd[y].to_numpy(), None
+        if kind == "centroid":
+            return (vor_pd["centroid_x"].to_numpy(),
+                    vor_pd["centroid_y"].to_numpy(), None)
+        geoms = [geo.wkb_to_polygons(bytes(w)) for w in vor_pd["geom_wkb"]]
+        return None, None, geoms
+
+    fxp, fyp, fgeo = basis(from_type)
+    txp, typ, tgeo = basis(to_type)
+    if fgeo is None and tgeo is None:
+        fx, fy, tx, ty = fxp, fyp, txp, typ
+        dist = np.hypot(fx[:, None] - tx[None, :], fy[:, None] - ty[None, :])
+    else:
+        dist = np.zeros((n, n))
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                if fgeo is not None and tgeo is not None:
+                    dist[i, j] = geo.polygons_distance(fgeo[i], tgeo[j])
+                elif fgeo is not None:
+                    dist[i, j] = geo.dist_points_to_polygons(
+                        np.array([txp[j]]), np.array([typ[j]]), fgeo[i])[0]
+                else:
+                    dist[i, j] = geo.dist_points_to_polygons(
+                        np.array([fxp[i]]), np.array([fyp[i]]), tgeo[j])[0]
     np.fill_diagonal(dist, -1.0)             # self is always nearest (:142-143)
     rng = np.random.RandomState(seed)
     jitter = rng.uniform(0, 1e-9, size=dist.shape)

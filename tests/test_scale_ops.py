@@ -256,6 +256,24 @@ def test_weighted_sample_deterministic_and_biased(spark):
     assert (a.item == 0).mean() > 0.8
 
 
+def test_ivf_recall_and_exactness(spark):
+    """IVF ANN: probing all lists is exact; partial probing keeps usable
+    recall vs the brute-force baseline."""
+    from hexscape_spark.similarity import (cosine_topk_bruteforce,
+                                           cosine_topk_ivf)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 20")
+    bf = cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    full = cosine_topk_ivf(emb, k=5, n_lists=8, nprobe=8).toPandas()
+    full = full[full.query_id < 20]
+    m = bf.merge(full, on=["query_id", "nn_id"], suffixes=("", "_ivf"))
+    assert len(m) == len(bf), "nprobe == n_lists must equal brute force"
+    part = cosine_topk_ivf(emb, k=5, n_lists=8, nprobe=3).toPandas()
+    part = part[part.query_id < 20]
+    m2 = bf.merge(part, on=["query_id", "nn_id"], suffixes=("", "_ivf"))
+    assert len(m2) / len(bf) >= 0.5
+
+
 def test_csv_dimension_roundtrip(spark, tmp_path):
     """S5/S8: CSV dimension load -> broadcast join, and CSV export."""
     import pyspark.sql.functions as F2

@@ -68,6 +68,31 @@ def test_sample_points_deterministic(spark, farm_points):
     assert (a.px.values == b.px.values).all()
 
 
+def test_randomise_voronoi_type_options(spark):
+    """from_type/to_type variants all run and keep the core invariants."""
+    rng = np.random.RandomState(5)
+    pts = rng.uniform(0, 10, size=(15, 2))
+    points = spark.createDataFrame(
+        [(i + 1, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "Index LONG, x DOUBLE, y DOUBLE")
+    land = geo.rect_wkb(0, 0, 10, 10)
+    for ft, tt in [("point", "point"), ("centroid", "centroid"),
+                   ("voronoi", "voronoi"), ("point", "voronoi")]:
+        out = randomise_voronoi(spark, land, points, randomise_size=4,
+                                seed=3, from_type=ft, to_type=tt,
+                                mask_landscape=(ft == "voronoi")).toPandas()
+        assert len(out) == 15, (ft, tt)
+        assert len(out[["new_x", "new_y"]].drop_duplicates()) == 15
+
+
+def test_polygons_distance():
+    a = [[geo.rect_ring(0, 0, 1, 1)]]
+    b = [[geo.rect_ring(3, 0, 4, 1)]]
+    assert geo.polygons_distance(a, b) == pytest.approx(2.0)
+    c = [[geo.rect_ring(0.5, 0.5, 2, 2)]]
+    assert geo.polygons_distance(a, c) == 0.0
+
+
 def test_randomise_voronoi_invariants(spark):
     rng = np.random.RandomState(3)
     pts = rng.uniform(0, 10, size=(30, 2))
