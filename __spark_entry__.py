@@ -101,6 +101,29 @@ def _sql_hex_kring_counts(k: int = 2) -> str:
         "GROUP BY shifted.cell_id")
 
 
+def _sql_hex_ring_counts(max_k: int = 3) -> str:
+    """Ego-ring profile: per occupied cell, doc counts at EXACT hex
+    distance 1..max_k (grid_ring = disk(k) − disk(k−1), the reference's
+    ego-set differencing, notebooks/network_distance.R:124-130)."""
+    rows = [f"({dq}, {dr})" for dq in range(-max_k, max_k + 1)
+            for dr in range(-max_k, max_k + 1)
+            if 0 < (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= max_k]
+    ring_of = ("CAST((ABS(offs.dq) + ABS(offs.dr) + ABS(offs.dq + offs.dr)) "
+               "/ 2 AS BIGINT)")
+    cols = ", ".join(
+        f"SUM(CASE WHEN ring = {k} THEN n ELSE 0 END) AS n_ring{k}"
+        for k in range(1, max_k + 1))
+    return (
+        f"WITH cells AS (SELECT q, r, cell_id, COUNT(*) AS n FROM ({_docs_assign_sub()}) AS t "
+        "GROUP BY q, r, cell_id), "
+        f"offs AS (SELECT * FROM (VALUES {', '.join(rows)}) AS v(dq, dr)), "
+        f"shifted AS (SELECT a.cell_id, a.q + offs.dq AS q, a.r + offs.dr AS r, "
+        f"{ring_of} AS ring FROM cells a JOIN offs ON 1=1) "
+        f"SELECT shifted.cell_id AS cell_id, {cols} "
+        "FROM shifted JOIN cells b ON b.q = shifted.q AND b.r = shifted.r "
+        "GROUP BY shifted.cell_id")
+
+
 def _sql_events_hex_rollup() -> str:
     sub = sqlgen.assign_sql("events", "event_id", keep=["event_type", "value"])
     return (
@@ -855,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cell_lang_mode": _sqlq(_sql_hex_cell_lang_mode),
         "hex_neighbours": _sqlq(_sql_hex_neighbours),
         "hex_kring_counts": _sqlq(_sql_hex_kring_counts),
+        "hex_ring_counts": _sqlq(_sql_hex_ring_counts),
         "hex_lattice_square": _sqlq(_sql_hex_lattice_square_spark),
         "events_hex_rollup": _sqlq(_sql_events_hex_rollup),
         "hex_nearest_cell": _q_nearest_cell_knn,
@@ -912,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_cell_lang_mode": _sql_hex_cell_lang_mode(),
         "hex_neighbours": _sql_hex_neighbours(),
         "hex_kring_counts": _sql_hex_kring_counts(),
+        "hex_ring_counts": _sql_hex_ring_counts(),
         "hex_lattice_square": _sql_hex_lattice_square_duck(),
         "events_hex_rollup": _sql_events_hex_rollup(),
         "hex_nearest_cell": _sql_hex_nearest_cell(),
