@@ -159,6 +159,22 @@ def _sql_hex_nearest_cell(k: int = 3) -> str:
         "WHERE rn = 1")
 
 
+def _sql_raster_to_hex() -> str:
+    """Raster -> hex resampling (north-star op): a deterministic 40-wide
+    raster derived from `part` (pixel 500 m, origin (0,0), value = price
+    cents), pixels assigned to hexes by centre, aggregated per cell."""
+    base = ("SELECT p_partkey % 40 AS ix, "
+            "CAST((p_partkey - (p_partkey % 40)) / 40 AS BIGINT) AS iy, "
+            "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS v FROM part")
+    px = "0.0E0 + (ix + 0.5E0) * 500.0E0"
+    py = "0.0E0 + (iy + 0.5E0) * 500.0E0"
+    layers = [[("__px", px), ("__py", py)]] + sqlgen.hex_layers("__px", "__py")
+    return ("SELECT cell_id, q, r, COUNT(*) AS n_pixels, SUM(v) AS sum_v, "
+            "SUM(v) * 1.0E0 / COUNT(*) AS avg_v FROM ("
+            + sqlgen.build_query(f"({base})", layers)
+            + ") AS t GROUP BY cell_id, q, r")
+
+
 def _sql_events_hour_rollup() -> str:
     return (
         "SELECT date_trunc('hour', ts) AS hour_ts, event_type, "
@@ -879,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_neighbours": _sqlq(_sql_hex_neighbours),
         "hex_kring_counts": _sqlq(_sql_hex_kring_counts),
         "hex_ring_counts": _sqlq(_sql_hex_ring_counts),
+        "raster_to_hex": _sqlq(_sql_raster_to_hex),
         "hex_lattice_square": _sqlq(_sql_hex_lattice_square_spark),
         "events_hex_rollup": _sqlq(_sql_events_hex_rollup),
         "hex_nearest_cell": _q_nearest_cell_knn,
@@ -937,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_neighbours": _sql_hex_neighbours(),
         "hex_kring_counts": _sql_hex_kring_counts(),
         "hex_ring_counts": _sql_hex_ring_counts(),
+        "raster_to_hex": _sql_raster_to_hex(),
         "hex_lattice_square": _sql_hex_lattice_square_duck(),
         "events_hex_rollup": _sql_events_hex_rollup(),
         "hex_nearest_cell": _sql_hex_nearest_cell(),
