@@ -81,6 +81,11 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
     """
     rows = num_hashes // bands
     sig = with_minhash(df.select(key, text), text, num_hashes, shingle_k)
+    # Exchange barrier: CollapseProject would otherwise inline the whole
+    # signature expression into every band-column element_at, recomputing
+    # the minhash num_hashes x bands times (measured 10x wall-clock); the
+    # repartition materialises signatures exactly once.
+    sig = sig.drop(text).repartition(F.col(key))
     band_cols = [
         F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("minhash"), i * rows + j + 1).cast("string")
                                       for j in range(rows)]), F.lit(1000 + i)).alias(f"b{i}")

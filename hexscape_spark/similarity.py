@@ -129,10 +129,12 @@ def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
     u = with_unit_norm(df, vec)
     corpus = with_ivf_list(u, cents, nprobe=1).select(
         F.col(key).alias("nn_id"), F.col("unit_vec").alias("cv"),
-        F.element_at("ivf_list", 1).alias("list_id"))
+        F.element_at("ivf_list", 1).alias("list_id")) \
+        .repartition(F.col("list_id"))     # barrier + join-key pre-shuffle
     queries = with_ivf_list(u, cents, nprobe=nprobe).select(
         F.col(key).alias("query_id"), F.col("unit_vec").alias("qv"),
-        F.explode("ivf_list").alias("list_id"))
+        F.explode("ivf_list").alias("list_id")) \
+        .repartition(F.col("list_id"))
     scored = (queries.join(corpus, on="list_id")
               .where(F.col("query_id") != F.col("nn_id"))
               .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
@@ -152,6 +154,10 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
     `planes` bands/rotations for higher recall (scale-tunable).
     """
     b = with_lsh_bucket(with_unit_norm(df, vec), "unit_vec", planes, dim)
+    # exchange barrier on the join key: stops CollapseProject re-inlining
+    # the norm + plane-dot expressions per consumer, and the bucket join
+    # reuses this shuffle
+    b = b.repartition(F.col("lsh_bucket"))
     left = b.select(F.col(key).alias("query_id"), F.col("unit_vec").alias("qv"),
                     F.col("lsh_bucket"))
     right = b.select(F.col(key).alias("nn_id"), F.col("unit_vec").alias("cv"),
