@@ -439,6 +439,18 @@ def dist_points_to_segments(px: np.ndarray, py: np.ndarray,
     return np.sqrt((dx * dx + dy * dy).min(axis=1))
 
 
+def boundary_distance(px: np.ndarray, py: np.ndarray,
+                      polys: list[list[np.ndarray]]) -> np.ndarray:
+    """Distance to the nearest boundary ring (no inside-zeroing) — used for
+    the full-cell fast path: a hex whose centroid is further from every
+    boundary than its circumradius is entirely inside or entirely outside."""
+    d = np.full(len(px), np.inf)
+    for poly in polys:
+        for ring in poly:
+            d = np.minimum(d, dist_points_to_segments(px, py, ring))
+    return d
+
+
 def dist_points_to_polygons(px: np.ndarray, py: np.ndarray,
                             polys: list[list[np.ndarray]]) -> np.ndarray:
     """st_distance(point, areal geometry): 0 inside, else boundary distance.

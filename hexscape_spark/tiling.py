@@ -124,7 +124,37 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
             qv = pdf["q"].to_numpy()
             rv = pdf["r"].to_numpy()
             cv = pdf["cell_id"].to_numpy()
+            # R4 fast path, generalised: a hex whose centroid clears every
+            # boundary by more than the circumradius (hexhgt/2) is entirely
+            # inside (or outside) each layer — zero geometry work.  At
+            # continent scale this is the overwhelming majority of cells.
+            circ = 0.5 * (2.0 * w_ / np.sqrt(3.0))
+            ls_clear = geo.boundary_distance(cx, cy, ls) > circ
+            ls_inside = geo.points_in_polygons(cx, cy, ls)
+            imp_flat = [p for ip in imps for p in ip]
+            imp_clear = geo.boundary_distance(cx, cy, imp_flat) > circ \
+                if imp_flat else np.ones(n, dtype=bool)
+            imp_inside = geo.points_in_polygons(cx, cy, imp_flat) \
+                if imp_flat else np.zeros(n, dtype=bool)
+            cat_clear = [geo.boundary_distance(cx, cy, cp) > circ for cp in cats]
+            cat_inside = [geo.points_in_polygons(cx, cy, cp) for cp in cats]
+            hexarea_ = P.hex_area(w_)
             for i in range(n):
+                if ls_clear[i] and not (imp_flat and not imp_clear[i]) and \
+                        all(cat_clear[k][i] for k in range(len(cats))):
+                    if not ls_inside[i]:
+                        continue          # hex fully outside the landscape
+                    imp_a = hexarea_ if (imp_flat and imp_inside[i]) else 0.0
+                    net = hexarea_ - imp_a
+                    if net > 0.0 or imp_a > 0.0:
+                        rows.append((
+                            qv[i], rv[i], cv[i], 0, cx[i], cy[i], net,
+                            cx[i], cy[i],
+                            geo.polygon_to_wkb([_hex_ring(cx[i], cy[i], w_)]),
+                            imp_a,
+                            *[(hexarea_ if cat_inside[k][i] else 0.0)
+                              for k in range(len(cats))]))
+                    continue
                 hexring = _hex_ring(cx[i], cy[i], w_)
                 # exact connected components of hex ∩ landscape — split
                 # patches get their own rows (st_cast POLYGON semantics,
