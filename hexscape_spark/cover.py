@@ -45,6 +45,8 @@ def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
     schema = (f"{poly_id} LONG, q LONG, r LONG, cell_id LONG, "
               "full BOOLEAN, cover_area DOUBLE")
 
+    circ = h / 2.0                       # hex circumradius
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_pid, out_q, out_r, out_full, out_area = [], [], [], [], []
@@ -59,25 +61,40 @@ def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
                 tan30 = np.tan(np.pi / 6.0)
                 q_lo = int(np.floor((x0 + (y0 - refy) * tan30 - refx) / w)) - 1
                 q_hi = int(np.ceil((x1 + (y1 - refy) * tan30 - refx) / w)) + 1
-                for r_ in range(r_lo, r_hi + 1):
-                    cy = refy - r_ * step
-                    if cy < y0 - h / 2 or cy > y1 + h / 2:
+                rs = np.arange(r_lo, r_hi + 1)
+                qs = np.arange(q_lo, q_hi + 1)
+                rg, qg = np.meshgrid(rs, qs, indexing="ij")
+                rg = rg.ravel()
+                qg = qg.ravel()
+                ccx = refx + rg * (w / 2.0) + qg * w
+                ccy = refy - rg * step
+                inbb = (ccx >= x0 - w / 2) & (ccx <= x1 + w / 2) & \
+                       (ccy >= y0 - h / 2) & (ccy <= y1 + h / 2)
+                rg, qg, ccx, ccy = rg[inbb], qg[inbb], ccx[inbb], ccy[inbb]
+                # boundary-proportional fast path (generalised R4): cells
+                # clearing the boundary by the circumradius are decided by
+                # containment alone — only boundary cells pay for clipping
+                bdist = geo.boundary_distance(ccx, ccy, polys_np)
+                inside = geo.points_in_polygons(ccx, ccy, polys_np)
+                clear = bdist > circ
+                for j in np.nonzero(clear & inside)[0]:
+                    out_pid.append(int(row[poly_id]))
+                    out_q.append(int(qg[j]))
+                    out_r.append(int(rg[j]))
+                    out_full.append(True)
+                    out_area.append(hexarea)
+                for j in np.nonzero(~clear)[0]:
+                    hexring = _hex_ring(float(ccx[j]), float(ccy[j]), w)
+                    a = geo.area_polygons_in_convex(polys_np, hexring)
+                    if a <= 0.0:
                         continue
-                    for q_ in range(q_lo, q_hi + 1):
-                        cx = refx + r_ * w / 2.0 + q_ * w
-                        if cx < x0 - w / 2 or cx > x1 + w / 2:
-                            continue
-                        hexring = _hex_ring(cx, cy, w)
-                        a = geo.area_polygons_in_convex(polys_np, hexring)
-                        if a <= 0.0:
-                            continue
-                        full = a >= hexarea * (1.0 - 1e-12)
-                        out_pid.append(int(row[poly_id]))
-                        out_q.append(q_)
-                        out_r.append(r_)
-                        out_full.append(bool(full))
-                        out_area.append(hexarea if full else
-                                        (a if exact_area else 0.0))
+                    full = a >= hexarea * (1.0 - 1e-12)
+                    out_pid.append(int(row[poly_id]))
+                    out_q.append(int(qg[j]))
+                    out_r.append(int(rg[j]))
+                    out_full.append(bool(full))
+                    out_area.append(hexarea if full else
+                                    (a if exact_area else 0.0))
             res = pd.DataFrame({
                 poly_id: pd.Series(out_pid, dtype="int64"),
                 "q": pd.Series(out_q, dtype="int64"),
