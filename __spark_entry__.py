@@ -205,6 +205,14 @@ def _sql_distinct_cust_nations() -> str:
     return ("SELECT DISTINCT c_nationkey FROM customer")
 
 
+def _sql_supplier_nation_rollup() -> str:
+    return (
+        "SELECT n_name, COUNT(*) AS n_suppliers, "
+        "SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_name")
+
+
 # --- lattice constants for the F2 50x50 fixture (computed once, inlined) ----
 _LW = 2.0
 _LH = P.hex_height(_LW)
@@ -914,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_share": _sqlq(_sql_orders_priority_share),
         "region_nation_counts": _sqlq(_sql_region_nation_counts),
         "distinct_cust_nations": _sqlq(_sql_distinct_cust_nations),
+        "supplier_nation_rollup": _sqlq(_sql_supplier_nation_rollup),
         "fingerprint_docs": _sqlq(_sql_fingerprint_docs),
         "semi_join_orders": _q_semi_join_orders,
         "full_outer_lang_source": _q_full_outer_lang_source,
@@ -963,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_share": _sql_orders_priority_share(),
         "region_nation_counts": _sql_region_nation_counts(),
         "distinct_cust_nations": _sql_distinct_cust_nations(),
+        "supplier_nation_rollup": _sql_supplier_nation_rollup(),
         "fingerprint_docs": _sql_fingerprint_docs(),
         "semi_join_orders": _SQL_SEMI_JOIN,
         "full_outer_lang_source": _SQL_FULL_OUTER_GRID,
