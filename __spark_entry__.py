@@ -54,7 +54,8 @@ def _sql_hex_assign_docs() -> str:
 def _sql_hex_cell_counts() -> str:
     cx, cy = sqlgen.centroid_exprs("q", "r")
     return (
-        "SELECT cell_id, q, r, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, "
+        "SELECT cell_id, q, r, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         f"{cx} AS hex_cx, {cy} AS hex_cy "
         f"FROM ({_docs_assign_sub()}) AS t GROUP BY cell_id, q, r")
 
@@ -95,7 +96,8 @@ def _sql_hex_kring_counts(k: int = 2) -> str:
         f"offs AS (SELECT * FROM (VALUES {_kring_values(k)}) AS v(dq, dr)), "
         "shifted AS (SELECT a.cell_id, a.q + offs.dq AS q, a.r + offs.dr AS r "
         " FROM cells a JOIN offs ON 1=1) "
-        "SELECT shifted.cell_id AS cell_id, SUM(b.n) AS n_in_disk, "
+        "SELECT shifted.cell_id AS cell_id, "
+        "CAST(SUM(b.n) AS BIGINT) AS n_in_disk, "
         "COUNT(*) AS cells_in_disk "
         "FROM shifted JOIN cells b ON b.q = shifted.q AND b.r = shifted.r "
         "GROUP BY shifted.cell_id")
@@ -111,7 +113,7 @@ def _sql_hex_ring_counts(max_k: int = 3) -> str:
     ring_of = ("CAST((ABS(offs.dq) + ABS(offs.dr) + ABS(offs.dq + offs.dr)) "
                "/ 2 AS BIGINT)")
     cols = ", ".join(
-        f"SUM(CASE WHEN ring = {k} THEN n ELSE 0 END) AS n_ring{k}"
+        f"CAST(SUM(CASE WHEN ring = {k} THEN n ELSE 0 END) AS BIGINT) AS n_ring{k}"
         for k in range(1, max_k + 1))
     return (
         f"WITH cells AS (SELECT q, r, cell_id, COUNT(*) AS n FROM ({_docs_assign_sub()}) AS t "
@@ -128,7 +130,7 @@ def _sql_events_hex_rollup() -> str:
     sub = sqlgen.assign_sql("events", "event_id", keep=["event_type", "value"])
     return (
         "SELECT cell_id, event_type, COUNT(*) AS n, "
-        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
         f"FROM ({sub}) AS t GROUP BY cell_id, event_type")
 
 
@@ -169,17 +171,31 @@ def _sql_raster_to_hex() -> str:
     px = "0.0E0 + (ix + 0.5E0) * 500.0E0"
     py = "0.0E0 + (iy + 0.5E0) * 500.0E0"
     layers = [[("__px", px), ("__py", py)]] + sqlgen.hex_layers("__px", "__py")
-    return ("SELECT cell_id, q, r, COUNT(*) AS n_pixels, SUM(v) AS sum_v, "
-            "SUM(v) * 1.0E0 / COUNT(*) AS avg_v FROM ("
+    return ("SELECT cell_id, q, r, COUNT(*) AS n_pixels, "
+            "CAST(SUM(v) AS BIGINT) AS sum_v, "
+            "CAST(SUM(v) AS BIGINT) * 1.0E0 / COUNT(*) AS avg_v FROM ("
             + sqlgen.build_query(f"({base})", layers)
             + ") AS t GROUP BY cell_id, q, r")
 
 
-def _sql_events_hour_rollup() -> str:
+def _events_hour_rollup_tail(hour_expr: str) -> str:
+    """Hour key rendered as a string so the driver's value hash is immune to
+    pandas datetime64 unit drift (Spark → ns, DuckDB → us)."""
     return (
-        "SELECT date_trunc('hour', ts) AS hour_ts, event_type, "
-        "COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents "
-        "FROM events GROUP BY date_trunc('hour', ts), event_type")
+        f"SELECT {hour_expr} AS hour_key, event_type, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        f"FROM events GROUP BY {hour_expr}, event_type")
+
+
+def _sql_events_hour_rollup_spark() -> str:
+    return _events_hour_rollup_tail(
+        "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')")
+
+
+def _sql_events_hour_rollup_duck() -> str:
+    return _events_hour_rollup_tail(
+        "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')")
 
 
 def _sql_fingerprint_docs() -> str:
@@ -208,7 +224,7 @@ def _sql_distinct_cust_nations() -> str:
 def _sql_supplier_nation_rollup() -> str:
     return (
         "SELECT n_name, COUNT(*) AS n_suppliers, "
-        "SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents "
+        "CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents "
         "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
         "GROUP BY n_name")
 
@@ -239,7 +255,7 @@ def _lattice_filtered_sql(id_from: str) -> str:
         f"  SELECT CAST(i % {_NQ} + {_Q_LO} AS BIGINT) AS q, "
         f"         CAST(CAST((i - (i % {_NQ})) / {_NQ} AS BIGINT) + {_R_LO} AS BIGINT) AS r "
         f"  FROM ({id_from}) AS ids) AS rq) AS cc "
-        f"WHERE {dist} < {repr(_THRESH)}E0")
+        f"WHERE {dist} < {sqlgen._f(_THRESH)}")
 
 
 def _sql_hex_lattice_square_spark() -> str:
@@ -278,10 +294,10 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM({_CENTS.format(c='l_quantity')}) AS sum_qty_cents,
-       SUM({_CENTS.format(c='l_extendedprice')}) AS sum_price_cents,
-       SUM({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')})) AS sum_disc_price_e4,
-       SUM({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')}) * (100 + {_CENTS.format(c='l_tax')})) AS sum_charge_e6,
+       CAST(SUM({_CENTS.format(c='l_quantity')}) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM({_CENTS.format(c='l_extendedprice')}) AS BIGINT) AS sum_price_cents,
+       CAST(SUM({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')})) AS BIGINT) AS sum_disc_price_e4,
+       CAST(SUM({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')}) * (100 + {_CENTS.format(c='l_tax')})) AS BIGINT) AS sum_charge_e6,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -342,9 +358,9 @@ def _q_cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CUMSUM = f"""
 SELECT o_custkey, o_orderkey,
-       SUM({_CENTS.format(c='o_totalprice')}) OVER (
+       CAST(SUM({_CENTS.format(c='o_totalprice')}) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
 FROM orders
 """
 
@@ -381,9 +397,9 @@ def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PIVOT = """
 SELECT o_custkey,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders GROUP BY o_custkey
 """
 
@@ -406,7 +422,7 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_REVENUE_NATION = f"""
 SELECT n_name,
-       SUM({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')})) AS revenue_e4,
+       CAST(SUM({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')})) AS BIGINT) AS revenue_e4,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -509,7 +525,7 @@ def _q_regex_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_REGEX_FILTER = """
-SELECT source, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE regexp_matches(source, '^src[0-3]$')
 GROUP BY source
 """
@@ -581,7 +597,7 @@ def _q_lang_dist_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_LANG_DIST = """
-SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source, lang
 """
 
@@ -754,7 +770,7 @@ def _q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SALTED = (
     "SELECT cell_id, COUNT(*) AS n, "
-    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents FROM ("
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM ("
     + sqlgen.assign_sql("events", "event_id", keep=["value"])
     + ") AS t GROUP BY cell_id")
 
@@ -918,7 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "customers_without_orders": _q_customers_without_orders,
         "user_event_gaps": _q_user_event_gaps,
-        "events_hour_rollup": _sqlq(_sql_events_hour_rollup),
+        "events_hour_rollup": _sqlq(_sql_events_hour_rollup_spark),
         "orders_priority_share": _sqlq(_sql_orders_priority_share),
         "region_nation_counts": _sqlq(_sql_region_nation_counts),
         "distinct_cust_nations": _sqlq(_sql_distinct_cust_nations),
@@ -968,7 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hex_rollup": _sql_events_hex_rollup(),
         "hex_nearest_cell": _sql_hex_nearest_cell(),
         "salted_cell_counts": _SQL_SALTED,
-        "events_hour_rollup": _sql_events_hour_rollup(),
+        "events_hour_rollup": _sql_events_hour_rollup_duck(),
         "orders_priority_share": _sql_orders_priority_share(),
         "region_nation_counts": _sql_region_nation_counts(),
         "distinct_cust_nations": _sql_distinct_cust_nations(),

@@ -26,8 +26,6 @@ def _normalise(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -39,6 +37,12 @@ def test_query_matches_oracle(spark, name):
     assert list(got.columns) == list(exp.columns), \
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    # The driver hashes rendered values, so dtype drift (e.g. DuckDB HUGEINT
+    # -> pandas float64 vs Spark BIGINT -> int64) IS a failure even when the
+    # numbers are equal.  Oracle SQL must CAST integer SUMs to BIGINT.
+    for c in got.columns:
+        assert got[c].dtype == exp[c].dtype, \
+            f"{name}.{c}: dtype {got[c].dtype} != oracle {exp[c].dtype}"
     for c in got.columns:
         if got[c].dtype == "float64":
             same = (got[c].values == exp[c].values) | \
