@@ -70,14 +70,41 @@ def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 32,
     return based.withColumn(out, sig).drop("__sh", "__bh")
 
 
+def _bucket_pairs(buckets: DataFrame, key: str,
+                  max_bucket: int | None) -> DataFrame:
+    """Self-join (band, h) buckets into distinct (a, b) pairs with a < b.
+
+    `max_bucket` caps the per-bucket membership BEFORE the self-join: a
+    bucket of m members emits m^2/2 pairs, so one degenerate bucket (e.g.
+    10^6 identical boilerplate pages) would be quadratic no matter how AQE
+    splits the shuffle.  Buckets above the cap are dropped entirely — for
+    dedup that is the right semantics (members of an over-full bucket are
+    near-certain duplicates of an exact-dup cluster that exact_duplicates
+    already catches more cheaply).
+    """
+    if max_bucket is not None:
+        sizes = (buckets.groupBy("band", "h")
+                 .agg(F.count(F.lit(1)).alias("__m"))
+                 .where(F.col("__m") <= max_bucket))
+        buckets = buckets.join(sizes.select("band", "h"), on=["band", "h"])
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, on=["band", "h"])
+            .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+            .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
+            .distinct())
+
+
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_k: int = 3) -> DataFrame:
+                      shingle_k: int = 3,
+                      max_bucket: int | None = 10_000) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     signature -> `bands` band-hashes -> explode -> self-join per bucket.
     Shuffle key is (band, band_hash): sparse buckets keep the join skew-safe
-    and AQE splits hot buckets.  Returns distinct (a, b) with a < b.
+    and AQE splits hot buckets; `max_bucket` bounds the worst-case pair
+    count per bucket (see _bucket_pairs).  Returns distinct (a, b), a < b.
     """
     rows = num_hashes // bands
     sig = with_minhash(df.select(key, text), text, num_hashes, shingle_k)
@@ -96,12 +123,39 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
             F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("h"))
             for i in range(bands)])).alias("bh"))
     buckets = buckets.select(key, "bh.band", "bh.h")
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (a.join(b, on=["band", "h"])
-            .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
-            .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
-            .distinct())
+    return _bucket_pairs(buckets, key, max_bucket)
+
+
+def minhash_lsh_pairs_portable(df: DataFrame, key: str = "doc_id",
+                               text: str = "text", num_hashes: int = 16,
+                               bands: int = 4, shingle_k: int = 3,
+                               max_bucket: int | None = None) -> DataFrame:
+    """Engine-portable MinHash LSH: identical algorithm to
+    minhash_lsh_pairs but with the md5-folded hash (sqlgen.md5_int_expr),
+    which evaluates bit-for-bit the same in DuckDB — so the driver's SQL
+    oracle can recompute the exact pair set.  Band key is the concatenated
+    signature slice itself (banding needs only equality, not another hash).
+    """
+    from . import sqlgen
+    rows = num_hashes // bands
+    sh = df.select(F.col(key), _shingles(F.col(text), shingle_k).alias("__sh"))
+    mins = [
+        ("array_min(transform(__sh, s -> "
+         + sqlgen.md5_int_expr(f"concat('{i}:', s)") + f")) AS m{i}")
+        for i in range(num_hashes)]
+    # Same exchange barrier as the xxhash64 path (signatures computed once).
+    sig = sh.selectExpr(key, *mins).repartition(F.col(key))
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"m{b * rows + j}").cast("string")
+                           for j in range(rows)]).alias(f"b{b}")
+        for b in range(bands)]
+    banded = sig.select(F.col(key), *band_cols)
+    buckets = banded.select(
+        key, F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
+            for b in range(bands)])).alias("bh"))
+    buckets = buckets.select(key, "bh.band", "bh.h")
+    return _bucket_pairs(buckets, key, max_bucket)
 
 
 def with_simhash(df: DataFrame, text: str = "text", bits: int = 16,
@@ -121,6 +175,29 @@ def with_simhash(df: DataFrame, text: str = "text", bits: int = 16,
                 F.lit(1)).otherwise(F.lit(-1)))
         acc = acc + F.when(votes > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
     return df.withColumn(out, acc)
+
+
+def with_simhash_portable(df: DataFrame, key: str = "doc_id",
+                          text: str = "text", bits: int = 16,
+                          out: str = "simhash") -> DataFrame:
+    """Engine-portable SimHash: one md5-folded hash per token (explode +
+    groupBy — the hash is computed ONCE per token, not once per bit), then
+    per-bit ±1 vote sums.  Exactly reproducible in DuckDB SQL, so the
+    driver oracle can verify it.  Grouped shape is also the scale shape:
+    map-side partial aggregation of the vote sums, one shuffle on `key`.
+    """
+    from . import sqlgen
+    tok = df.select(
+        F.col(key),
+        F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("w"))
+    tok = tok.selectExpr(key, sqlgen.md5_int_expr("w") + " AS h")
+    votes = [
+        F.expr(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)")
+        .alias(f"v{j}") for j in range(bits)]
+    g = tok.groupBy(key).agg(*votes)
+    sim = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits))
+    return g.selectExpr(key, f"CAST({sim} AS BIGINT) AS {out}")
 
 
 def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",

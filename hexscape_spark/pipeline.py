@@ -34,10 +34,54 @@ from .dissolve import dissolve
 MISSING_CC = "MISSING_CC"        # R/extract_corine.R:191-193
 
 
+def regroup_landcover(df: DataFrame, regroup: "int | DataFrame",
+                      code: str = "clc") -> DataFrame:
+    """CLC regrouping (R/load_corine.R:61-93).
+
+    ``regroup`` is either an integer hierarchy level (1-3): codes collapse
+    to their level-k digit prefix, exactly the reference's
+    ``str_sub(CLC_CODE, 1, level)``; or a user mapping DataFrame with
+    columns (``code``, 'clc_group'): codes re-key via broadcast join, and
+    unmapped codes keep their original value (the reference keeps
+    unmatched rows and appends a "Missing data" group — our MISSING_CC
+    rows pass through both paths untouched).
+    """
+    if isinstance(regroup, int):
+        if not 1 <= regroup <= 3:
+            raise ValueError(f"regroup level must be 1..3, got {regroup}")
+        return df.withColumn(
+            code, F.when(F.col(code) == MISSING_CC, F.col(code))
+                   .otherwise(F.substring(F.col(code), 1, regroup)))
+    m = regroup.select(F.col(code).alias("__rk"),
+                       F.col("clc_group").alias("__rg"))
+    return (df.join(F.broadcast(m), F.col(code) == F.col("__rk"), "left")
+            .withColumn(code, F.coalesce("__rg", F.col(code)))
+            .drop("__rk", "__rg"))
+
+
+def with_clc_labels(df: DataFrame, legend: DataFrame,
+                    code: str = "clc") -> DataFrame:
+    """Three-level label join (R/load_corine.R:291-294).
+
+    ``legend`` is DataFrame(code STRING, label STRING) holding labels for
+    1-, 2- and 3-digit prefixes; adds label1/label2/label3 columns from
+    the code's prefixes via broadcast joins (labels are a tiny dimension).
+    """
+    for lvl in (1, 2, 3):
+        lx = legend.select(F.col("code").alias(f"__c{lvl}"),
+                           F.col("label").alias(f"label{lvl}"))
+        df = (df.join(F.broadcast(lx),
+                      F.substring(F.col(code), 1, lvl) == F.col(f"__c{lvl}"),
+                      "left")
+              .drop(f"__c{lvl}"))
+    return df
+
+
 def extract_landcover(spark: SparkSession, landcover: DataFrame,
                       mask_wkb: bytes,
                       clc_labels: DataFrame | None = None,
                       clc_filter: list[str] | None = None,
+                      regroup: "int | DataFrame | None" = None,
                       hex_width: float = P.HEX_WIDTH,
                       checkpoint_root: str | None = None,
                       resume: bool = True) -> dict[str, DataFrame]:
@@ -50,6 +94,11 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
     lc = landcover.select("poly_id", "clc", "geom_wkb")
     if clc_filter:
         lc = lc.where(F.col("clc").isin(clc_filter))
+    if regroup is not None:
+        # regroup BEFORE the cover so per-(cell, clc) rollups and the
+        # per-code dissolve aggregate over the regrouped keys, matching the
+        # reference's regroup-then-union order (R/load_corine.R:61-93,254)
+        lc = regroup_landcover(lc, regroup)
 
     # 2. planning counts (reference plans chunking from these,
     #    R/extract_corine.R:63-78; we surface them for salting/telemetry)
@@ -65,7 +114,9 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
     if checkpoint_root:
         cover = checkpoint(cover, checkpoint_root, "lc_cover",
                            params={"hex_width": hex_width,
-                                   "clc_filter": clc_filter}, mode=mode)
+                                   "clc_filter": clc_filter,
+                                   "regroup": regroup if isinstance(regroup, int) else regroup is not None},
+                           mode=mode)
     else:
         # the gap computation reads the cover twice (per-cell sums + union);
         # keep the clip UDF single-execution
@@ -87,7 +138,9 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
     if checkpoint_root:
         cells = checkpoint(cells, checkpoint_root, "lc_cells",
                            params={"hex_width": hex_width,
-                                   "clc_filter": clc_filter}, mode=mode)
+                                   "clc_filter": clc_filter,
+                                   "regroup": regroup if isinstance(regroup, int) else regroup is not None},
+                           mode=mode)
 
     # 6. dissolve per code + 7. broadcast label join
     dis = dissolve(lc, key="clc")

@@ -140,6 +140,29 @@ def dist_point_to_rect_expr(x: str, y: str, minx: float, miny: float,
 
 
 # ---------------------------------------------------------------------------
+# Portable 60-bit hash: md5 hex prefix folded to BIGINT.  Parses and
+# evaluates identically in Spark SQL and DuckDB (md5 / substring / instr are
+# shared), so hash-dependent operators (minhash, simhash) can be oracled
+# exactly.  15 hex digits -> [0, 16^15) fits BIGINT with no overflow.
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def md5_int_expr(expr: str, digits: int = 15) -> str:
+    """BIGINT hash of a string SQL expression, identical in both engines."""
+    terms = []
+    for i in range(digits):
+        mul = 16 ** (digits - 1 - i)
+        # CAST: Spark instr returns INT, and INT * INT overflows under ANSI
+        # for multipliers that still fit INT (16^7 and below).
+        d = (f"CAST(instr('{_HEX}', substring(md5({expr}), {i + 1}, 1)) - 1"
+             " AS BIGINT)")
+        terms.append(f"{d} * {mul}" if mul > 1 else d)
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
 # Whole geocode+assign query over a table with an integer key
 # ---------------------------------------------------------------------------
 

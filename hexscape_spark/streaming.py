@@ -47,6 +47,34 @@ def streaming_cell_rollup(pages: DataFrame, window: str = "10 minutes",
                     "cell_id", "q", "r", "n_pages", "sum_chars"))
 
 
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File stream over the TESTDATA events schema."""
+    schema = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_events_hour_cell(events: DataFrame,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Watermarked hourly per-cell event rollup — the streaming form of the
+    batch events_hex_rollup, sharing sqlgen's exact geocode/assign
+    expressions so the driver's DuckDB oracle (batch SQL + the append-mode
+    emission filter window_end <= max(ts) - watermark) reproduces it
+    bit-for-bit.  Hour key is a rendered string (see events_hour_rollup).
+    """
+    g = hexgrid.with_hex_cell(hexgrid.with_geocode(events, "event_id"))
+    return (g.withWatermark("ts", watermark)
+            .groupBy(F.window(F.col("ts"), "1 hour").alias("w"),
+                     F.col("cell_id"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+                 .alias("sum_cents"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour_key"),
+                    "cell_id", "n",
+                    F.col("sum_cents").cast("long").alias("sum_cents")))
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: float = 30.0,
                       key: str = "user_id", ts: str = "ts") -> DataFrame:
     """Custom stateful operator: gap-based sessionisation with
