@@ -46,39 +46,49 @@ def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
               "full BOOLEAN, cover_area DOUBLE")
 
     circ = h / 2.0                       # hex circumradius
+    block_cells = 65536                  # candidate-lattice block size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_pid, out_q, out_r, out_full, out_area = [], [], [], [], []
-            for _, row in pdf.iterrows():
-                polys_np = geo.wkb_to_polygons(bytes(row[geom]))
-                x0, y0, x1, y1 = geo.polygons_bounds(polys_np)
-                # candidate axial range from the sheared bbox
-                # (same derivation as hexgrid.lattice, reference
-                #  R/generate_patches.R:89-101), padded by one ring
-                r_lo = int(np.floor((refy - y1) / step)) - 1
-                r_hi = int(np.ceil((refy - y0) / step)) + 1
-                tan30 = np.tan(np.pi / 6.0)
-                q_lo = int(np.floor((x0 + (y0 - refy) * tan30 - refx) / w)) - 1
-                q_hi = int(np.ceil((x1 + (y1 - refy) * tan30 - refx) / w)) + 1
-                rs = np.arange(r_lo, r_hi + 1)
-                qs = np.arange(q_lo, q_hi + 1)
-                rg, qg = np.meshgrid(rs, qs, indexing="ij")
-                rg = rg.ravel()
-                qg = qg.ravel()
-                ccx = refx + rg * (w / 2.0) + qg * w
-                ccy = refy - rg * step
-                inbb = (ccx >= x0 - w / 2) & (ccx <= x1 + w / 2) & \
-                       (ccy >= y0 - h / 2) & (ccy <= y1 + h / 2)
-                rg, qg, ccx, ccy = rg[inbb], qg[inbb], ccx[inbb], ccy[inbb]
-                # boundary-proportional fast path (generalised R4): cells
-                # clearing the boundary by the circumradius are decided by
-                # containment alone — only boundary cells pay for clipping
-                bdist = geo.boundary_distance(ccx, ccy, polys_np)
-                inside = geo.points_in_polygons(ccx, ccy, polys_np)
+
+            def emit(pid, qg, rg, ccx, ccy, polys_np, segs, ring_segs):
+                """One candidate block: fast-path/clip decisions.
+
+                Memory is bounded: the distance and containment tests see
+                only the segments near/left-reaching this block (bbox
+                prefilter), and the distance kernel chunks over segments —
+                so a 10^6-cell x 10^4-vertex polygon never allocates a
+                (cells x segments) temporary (ADVICE r01)."""
+                bx0, bx1 = float(ccx.min()), float(ccx.max())
+                by0, by1 = float(ccy.min()), float(ccy.max())
+                ax, ay, bxx, byy = segs
+                # distance prefilter: only segments within circ of the
+                # block matter — min over farther segments is > circ anyway
+                keep = ((np.minimum(ax, bxx) <= bx1 + circ) &
+                        (np.maximum(ax, bxx) >= bx0 - circ) &
+                        (np.minimum(ay, byy) <= by1 + circ) &
+                        (np.maximum(ay, byy) >= by0 - circ))
+                bdist = geo.dist_points_to_segment_arrays(
+                    ccx, ccy, ax[keep], ay[keep], bxx[keep], byy[keep])
+                # containment prefilter per ring: a rightward ray from the
+                # block can only cross segments straddling its y-range that
+                # are not entirely left of it (parity is per-segment
+                # additive, so the subset preserves it)
+                inside = np.zeros(len(ccx), dtype=bool)
+                for rings in ring_segs:
+                    inn = None
+                    for (sx1, sy1, sx2, sy2) in rings:
+                        rk = ((np.minimum(sy1, sy2) <= by1) &
+                              (np.maximum(sy1, sy2) >= by0) &
+                              (np.maximum(sx1, sx2) >= bx0))
+                        got = geo.points_in_ring_segments(
+                            ccx, ccy, sx1[rk], sy1[rk], sx2[rk], sy2[rk])
+                        inn = got if inn is None else inn & ~got
+                    inside |= inn
                 clear = bdist > circ
                 for j in np.nonzero(clear & inside)[0]:
-                    out_pid.append(int(row[poly_id]))
+                    out_pid.append(pid)
                     out_q.append(int(qg[j]))
                     out_r.append(int(rg[j]))
                     out_full.append(True)
@@ -89,12 +99,45 @@ def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
                     if a <= 0.0:
                         continue
                     full = a >= hexarea * (1.0 - 1e-12)
-                    out_pid.append(int(row[poly_id]))
+                    out_pid.append(pid)
                     out_q.append(int(qg[j]))
                     out_r.append(int(rg[j]))
                     out_full.append(bool(full))
                     out_area.append(hexarea if full else
                                     (a if exact_area else 0.0))
+
+            for _, row in pdf.iterrows():
+                polys_np = geo.wkb_to_polygons(bytes(row[geom]))
+                x0, y0, x1, y1 = geo.polygons_bounds(polys_np)
+                all_rings = [r_ for poly in polys_np for r_ in poly]
+                seg_parts = [geo.ring_segments(r_) for r_ in all_rings]
+                segs = tuple(np.concatenate([p[i] for p in seg_parts])
+                             for i in range(4))
+                ring_segs = [[geo.ring_segments(r_) for r_ in poly]
+                             for poly in polys_np]
+                # candidate axial range from the sheared bbox
+                # (same derivation as hexgrid.lattice, reference
+                #  R/generate_patches.R:89-101), padded by one ring
+                r_lo = int(np.floor((refy - y1) / step)) - 1
+                r_hi = int(np.ceil((refy - y0) / step)) + 1
+                tan30 = np.tan(np.pi / 6.0)
+                q_lo = int(np.floor((x0 + (y0 - refy) * tan30 - refx) / w)) - 1
+                q_hi = int(np.ceil((x1 + (y1 - refy) * tan30 - refx) / w)) + 1
+                qs = np.arange(q_lo, q_hi + 1)
+                rows_per_block = max(1, block_cells // max(1, len(qs)))
+                for rb in range(r_lo, r_hi + 1, rows_per_block):
+                    rs = np.arange(rb, min(rb + rows_per_block, r_hi + 1))
+                    rg, qg = np.meshgrid(rs, qs, indexing="ij")
+                    rg = rg.ravel()
+                    qg = qg.ravel()
+                    ccx = refx + rg * (w / 2.0) + qg * w
+                    ccy = refy - rg * step
+                    inbb = (ccx >= x0 - w / 2) & (ccx <= x1 + w / 2) & \
+                           (ccy >= y0 - h / 2) & (ccy <= y1 + h / 2)
+                    if not inbb.any():
+                        continue
+                    emit(int(row[poly_id]), qg[inbb], rg[inbb],
+                         ccx[inbb], ccy[inbb], polys_np, segs, ring_segs)
             res = pd.DataFrame({
                 poly_id: pd.Series(out_pid, dtype="int64"),
                 "q": pd.Series(out_q, dtype="int64"),
@@ -128,9 +171,10 @@ def pip_join(points_with_cells: DataFrame, cover: DataFrame,
       3. partial cells get an exact vectorized PIP refine against the
          polygon (Arrow-batched, minority of rows).
 
-    polys must be joinable on poly_id and carry geom_wkb; at broadcastable
-    size the refine ships the geometries with the UDF, which is the
-    reference's regime."""
+    polys must be joinable on poly_id and carry geom_wkb.  The polygon
+    geometry reaches the refine UDF THROUGH the join (Catalyst broadcasts a
+    small layer, shuffles a big one) — nothing is ever materialised on the
+    driver, so a continent-scale layer cannot OOM it."""
     import pyspark.sql.functions as F2
 
     cand = points_with_cells.join(cover.select(poly_id, "cell_id", "full"),
@@ -138,25 +182,23 @@ def pip_join(points_with_cells: DataFrame, cover: DataFrame,
     sure = cand.where(F2.col("full")).drop("full")
     maybe = cand.where(~F2.col("full")).drop("full")
 
-    geoms = {int(r[poly_id]): bytes(r[geom])
-             for r in polys.select(poly_id, geom).collect()}
     out_schema = maybe.schema
+    with_geom = maybe.join(polys.select(poly_id, geom), on=poly_id) \
+                     .select(*maybe.columns, geom)
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[int, list] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
             for pid, grp in pdf.groupby(poly_id):
-                if pid not in cache:
-                    cache[pid] = geo.wkb_to_polygons(geoms[int(pid)])
+                # one WKB parse per (batch, polygon), not per row
+                pg = geo.wkb_to_polygons(bytes(grp[geom].iloc[0]))
                 keep[grp.index.to_numpy()] = geo.points_in_polygons(
-                    grp[point_x].to_numpy(), grp[point_y].to_numpy(),
-                    cache[pid])
-            yield pdf[keep]
+                    grp[point_x].to_numpy(), grp[point_y].to_numpy(), pg)
+            yield pdf.loc[keep, [f.name for f in out_schema.fields]]
 
-    refined = maybe.mapInPandas(refine, schema=out_schema)
+    refined = with_geom.mapInPandas(refine, schema=out_schema)
     return sure.unionByName(refined)
 
 

@@ -393,19 +393,34 @@ def clip_polygon_components(polygon: list[np.ndarray],
 
 # --- point in polygon ----------------------------------------------------------
 
-def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized ray-cast point-in-ring (boundary counts as inside-ish)."""
-    inside = np.zeros(len(px), dtype=bool)
-    n = len(ring)
+def ring_segments(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray, np.ndarray]:
+    """Ring -> (x1, y1, x2, y2) segment endpoint arrays."""
     x1, y1 = ring[:, 0], ring[:, 1]
-    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-    for i in range(n):
+    return x1, y1, np.roll(x1, -1), np.roll(y1, -1)
+
+
+def points_in_ring_segments(px: np.ndarray, py: np.ndarray,
+                            x1: np.ndarray, y1: np.ndarray,
+                            x2: np.ndarray, y2: np.ndarray) -> np.ndarray:
+    """Ray-cast parity over an explicit segment set.  Crossing parity is a
+    sum over segments, so callers may pass any SUBSET that still contains
+    every segment able to cross a rightward ray from the points (y-range
+    straddles some py, and not entirely left of every px)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for i in range(len(x1)):
         cond = (y1[i] > py) != (y2[i] > py)
         if not cond.any():
             continue
         xin = (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i] + 0.0) + x1[i]
         inside ^= cond & (px < xin)
     return inside
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray-cast point-in-ring (boundary counts as inside-ish)."""
+    x1, y1, x2, y2 = ring_segments(ring)
+    return points_in_ring_segments(px, py, x1, y1, x2, y2)
 
 
 def points_in_polygons(px: np.ndarray, py: np.ndarray,
@@ -437,6 +452,29 @@ def dist_points_to_segments(px: np.ndarray, py: np.ndarray,
     dx = apx - t * abx
     dy = apy - t * aby
     return np.sqrt((dx * dx + dy * dy).min(axis=1))
+
+
+def dist_points_to_segment_arrays(px: np.ndarray, py: np.ndarray,
+                                  ax: np.ndarray, ay: np.ndarray,
+                                  bx: np.ndarray, by: np.ndarray,
+                                  seg_chunk: int = 256) -> np.ndarray:
+    """Min distance from each point to an explicit segment set, evaluated in
+    segment chunks so the (n_points x n_segments) temporary never exceeds
+    n_points x seg_chunk (the OOM guard for huge boundary rings).  Returns
+    +inf where the segment set is empty."""
+    d = np.full(len(px), np.inf)
+    for s in range(0, len(ax), seg_chunk):
+        abx = (bx[s:s + seg_chunk] - ax[s:s + seg_chunk])[None, :]
+        aby = (by[s:s + seg_chunk] - ay[s:s + seg_chunk])[None, :]
+        apx = px[:, None] - ax[s:s + seg_chunk][None, :]
+        apy = py[:, None] - ay[s:s + seg_chunk][None, :]
+        denom = abx * abx + aby * aby
+        denom = np.where(denom == 0.0, 1.0, denom)
+        t = np.clip((apx * abx + apy * aby) / denom, 0.0, 1.0)
+        dx = apx - t * abx
+        dy = apy - t * aby
+        d = np.minimum(d, np.sqrt((dx * dx + dy * dy).min(axis=1)))
+    return d
 
 
 def boundary_distance(px: np.ndarray, py: np.ndarray,
