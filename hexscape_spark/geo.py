@@ -630,6 +630,158 @@ def douglas_peucker(ring: np.ndarray, tolerance: float) -> np.ndarray:
 
 # --- bounds -----------------------------------------------------------------------
 
+def interior_point(poly: list[np.ndarray]) -> tuple[float, float]:
+    """A point strictly inside the polygon (holes respected).
+
+    Scanline at a y strictly between two adjacent distinct outer-ring
+    vertex ys (so no vertex sits on the line — parity is robust), midpoint
+    of the widest inside interval.  Unlike the centroid, this is guaranteed
+    interior for concave shapes; used to assign clipped pieces to the
+    connected component that contains them."""
+    outer = poly[0]
+    ys = np.unique(outer[:, 1])
+    if len(ys) < 2:
+        return float(outer[:, 0].mean()), float(ys[0])
+    k = (len(ys) - 1) // 2
+    y = 0.5 * (ys[k] + ys[k + 1])
+    xs = []
+    for ring in poly:
+        x1, y1, x2, y2 = ring_segments(ring)
+        c = (y1 <= y) != (y2 <= y)
+        if c.any():
+            t = (y - y1[c]) / (y2[c] - y1[c])
+            xs.append(x1[c] + t * (x2[c] - x1[c]))
+    xs = np.sort(np.concatenate(xs)) if xs else np.empty(0)
+    best_w, best_x = -1.0, float(outer[:, 0].mean())
+    for j in range(0, len(xs) // 2 * 2, 2):
+        wd = xs[j + 1] - xs[j]
+        if wd > best_w:
+            best_w, best_x = float(wd), float(0.5 * (xs[j] + xs[j + 1]))
+    return best_x, float(y)
+
+
+# --- exact boolean areas of ARBITRARY polygon sets (strip sweep) -----------------
+#
+# Trapezoidal decomposition: between consecutive event xs (all segment
+# endpoints + all proper pairwise segment crossings) every ring's vertical
+# cross-section endpoints move linearly and never reorder, so the measure of
+# any boolean combination of the sets is LINEAR in x within a strip; the
+# average of two interior samples times the width integrates it exactly.
+# O(E^2) pairwise crossings + O(strips x E) evaluations — meant for
+# per-group driver/UDF geometry (dissolve, impassable accounting), where E
+# is bounded, not for the per-row hot path.
+
+def _all_ring_segments(polys: list[list[np.ndarray]]):
+    parts = [ring_segments(r) for poly in polys for r in poly]
+    if not parts:
+        z = np.empty(0)
+        return z, z, z, z
+    return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+
+
+def _pairwise_crossing_xs(x1, y1, x2, y2, chunk: int = 512) -> np.ndarray:
+    """x coordinates of proper interior crossings between any two segments."""
+    m = len(x1)
+    out = []
+    for i0 in range(0, m, chunk):
+        ax = x1[i0:i0 + chunk][:, None]
+        ay = y1[i0:i0 + chunk][:, None]
+        rx = (x2[i0:i0 + chunk] - x1[i0:i0 + chunk])[:, None]
+        ry = (y2[i0:i0 + chunk] - y1[i0:i0 + chunk])[:, None]
+        sx = (x2 - x1)[None, :]
+        sy = (y2 - y1)[None, :]
+        qpx = x1[None, :] - ax
+        qpy = y1[None, :] - ay
+        denom = rx * sy - ry * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qpx * sy - qpy * sx) / denom
+            u = (qpx * ry - qpy * rx) / denom
+        ok = (np.isfinite(t) & np.isfinite(u) &
+              (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0))
+        if ok.any():
+            with np.errstate(invalid="ignore"):
+                out.append((ax + t * rx)[ok])
+    return np.concatenate(out) if out else np.empty(0)
+
+
+def _intervals_at(polys: list[list[np.ndarray]], x: float) -> list[list[float]]:
+    """Union-merged inside y-intervals of a polygon SET at vertical line x
+    (even-odd parity per polygon across all its rings — holes subtract)."""
+    ivs = []
+    for poly in polys:
+        ys = []
+        for ring in poly:
+            x1, y1, x2, y2 = ring_segments(ring)
+            c = (x1 <= x) != (x2 <= x)
+            if c.any():
+                t = (x - x1[c]) / (x2[c] - x1[c])
+                ys.append(y1[c] + t * (y2[c] - y1[c]))
+        if not ys:
+            continue
+        yy = np.sort(np.concatenate(ys))
+        for j in range(0, len(yy) // 2 * 2, 2):
+            if yy[j + 1] > yy[j]:
+                ivs.append([float(yy[j]), float(yy[j + 1])])
+    ivs.sort()
+    merged: list[list[float]] = []
+    for lo, hi in ivs:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return merged
+
+
+def _intersect_length(a: list[list[float]], b: list[list[float]]) -> float:
+    i = j = 0
+    total = 0.0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if hi > lo:
+            total += hi - lo
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return total
+
+
+def _boolean_area(a: list[list[np.ndarray]],
+                  b: list[list[np.ndarray]] | None) -> float:
+    ex1, ey1, ex2, ey2 = _all_ring_segments(a + (b or []))
+    if len(ex1) == 0:
+        return 0.0
+    xs = np.unique(np.concatenate(
+        [ex1, ex2, _pairwise_crossing_xs(ex1, ey1, ex2, ey2)]))
+    area = 0.0
+    for k in range(len(xs) - 1):
+        x0, x1v = float(xs[k]), float(xs[k + 1])
+        w = x1v - x0
+        if w <= 0.0:
+            continue
+        for xm in (x0 + 0.25 * w, x0 + 0.75 * w):
+            ia = _intervals_at(a, xm)
+            if b is None:
+                length = sum(hi - lo for lo, hi in ia)
+            else:
+                length = _intersect_length(ia, _intervals_at(b, xm))
+            area += 0.5 * length * w
+    return area
+
+
+def union_area(polys: list[list[np.ndarray]]) -> float:
+    """Exact area of the union of arbitrary (multi)polygons — overlap
+    counted ONCE (st_union semantics, R/extract_corine.R:156)."""
+    return _boolean_area(polys, None)
+
+
+def intersection_area(a: list[list[np.ndarray]],
+                      b: list[list[np.ndarray]]) -> float:
+    """Exact area of (union of a) ∩ (union of b) for arbitrary polygons."""
+    return _boolean_area(a, b)
+
+
 def polygons_bounds(polys: list[list[np.ndarray]]) -> tuple[float, float, float, float]:
     pts = np.vstack([poly[0] for poly in polys])
     return (float(pts[:, 0].min()), float(pts[:, 1].min()),

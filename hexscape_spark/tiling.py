@@ -23,11 +23,13 @@ landscape) produce one row per exact connected component
 the reference's st_cast-to-POLYGON semantics (F3 fixture golden facts in
 tests/test_split_patches.py).
 
-Simplifying assumptions vs the reference, asserted in tests:
-  * land_use categories are mutually disjoint and lie within the landscape
-    (true of CORINE land-cover partitions the reference consumes);
-  * for split cells, category areas are distributed across components by
-    area share (exact for single-component cells — the vast majority).
+Category and impassable areas are EXACT per connected component: each
+layer is clipped to the hex (convex clip) and then boolean-intersected
+with each landscape component (geo.intersection_area), matching the
+reference's st_intersection(patch, layer) on split patches
+(R/generate_patches.R:148-166, 252-266).  The one remaining assumption,
+asserted in tests, is that land_use categories are mutually DISJOINT
+(true of CORINE partitions) — lu_sum would double-count overlap.
 """
 
 from __future__ import annotations
@@ -170,12 +172,20 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                     if a <= 0:
                         continue
                     ccx, ccy = geo.polygons_centroid([comp])
-                    infos.append([a, ccx, ccy, comp, 0.0])
+                    infos.append([a, ccx, ccy, comp, 0.0,
+                                  [0.0] * len(cats)])
                 if not infos:
                     continue
-                # impassable subtraction (area only): each impassable piece
-                # is charged to the component containing its centroid
-                # (exact when impassable ⊂ one component)
+                # the overwhelmingly common boundary case: one component
+                # that IS the whole hex (hex inside the landscape, some
+                # other layer's boundary nearby) — clips against it are
+                # plain convex clips
+                single_full = (len(infos) == 1 and
+                               infos[0][0] >= hexarea_ * (1.0 - 1e-12))
+                # impassable subtraction: pieces are clipped to the hex AND
+                # to the landscape components (exact boolean area), so an
+                # Impassable layer crossing the landscape boundary never
+                # overcounts (R/generate_patches.R:148-166)
                 for ip in imps:
                     for ipc in (geo.clip_polygon_components(p, hexring)
                                 for p in ip):
@@ -183,33 +193,37 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                             pa = geo.polygon_area(piece)
                             if pa <= 0:
                                 continue
-                            px_, py_ = geo.polygons_centroid([piece])
-                            tgt = None
-                            for info in infos:
-                                if geo.points_in_polygons(
-                                        np.array([px_]), np.array([py_]),
-                                        [info[3]])[0]:
-                                    tgt = info
-                                    break
-                            if tgt is None:
-                                tgt = max(infos, key=lambda x: x[0])
-                            tgt[4] += pa
-                # category areas: exact for single-component cells; for the
-                # rare split cells, distributed by component-area share
-                # (documented divergence; reference clips per split patch)
-                cat_cell = [geo.area_polygons_in_convex(cp, hexring)
-                            for cp in cats]
-                total_a = sum(info[0] for info in infos)
+                            if single_full:
+                                infos[0][4] += pa
+                            else:
+                                for info in infos:
+                                    info[4] += geo.intersection_area(
+                                        [piece], [info[3]])
+                # category areas: exact per connected component — each
+                # category is clipped to the hex, then boolean-intersected
+                # with each component (st_intersection(patch, category)
+                # semantics, R/generate_patches.R:252-266)
+                for k, cp in enumerate(cats):
+                    if single_full:
+                        infos[0][5][k] = geo.area_polygons_in_convex(
+                            cp, hexring)
+                        continue
+                    pieces = [pc for poly in cp
+                              for pc in geo.clip_polygon_components(
+                                  poly, hexring)]
+                    if not pieces:
+                        continue
+                    for info in infos:
+                        info[5][k] = geo.intersection_area(pieces, [info[3]])
                 # deterministic part order: area desc, then centroid
                 infos.sort(key=lambda x: (-x[0], x[1], x[2]))
                 for part, info in enumerate(infos):
-                    a, ccx, ccy, comp, imp_a = info
+                    a, ccx, ccy, comp, imp_a, cat_areas = info
                     net = a - imp_a
-                    share = a / total_a if total_a > 0 else 0.0
                     rows.append((
                         qv[i], rv[i], cv[i], part, cx[i], cy[i], net,
                         ccx, ccy, geo.polygon_to_wkb(comp), imp_a,
-                        *[c * share for c in cat_cell]))
+                        *cat_areas))
             cols = ["q", "r", "cell_id", "__part", "hex_cx", "hex_cy",
                     "area", "centroid_x", "centroid_y", "geom_wkb", "__imp",
                     *[f"__cat_{k}" for k in range(len(cats))]]

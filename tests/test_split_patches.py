@@ -61,6 +61,53 @@ def test_split_parts_are_disjoint_components(split_setup):
                 assert inside == (i == j), (q, r, i, j)
 
 
+def test_split_cell_category_areas_exact(spark):
+    """A category straddling the F3 hole: each split part's LU_* area must
+    equal the exact clip of the category against THAT component
+    (R/generate_patches.R:252-266), not an area-share distribution."""
+    land = geo.polygon_to_wkb([OUTER, HOLE])
+    # vertical band through the hole region: intersects both parts of any
+    # hex the hole splits
+    band = geo.rect_wkb(8.0, 8.0, 22.0, 24.0)
+    p = generate_patches(
+        spark, land, hex_width=HEXW, reference_point=REF, min_prop=0.01,
+        keep_geometry=True,
+        land_use=[("Band", "Passable", band)]).toPandas()
+    band_np = geo.wkb_to_polygons(band)
+    dup = p.groupby(["q", "r"]).size()
+    split = dup[dup > 1]
+    assert len(split) >= 1
+    checked_nonzero = 0
+    for _, row in p.iterrows():
+        comp = geo.wkb_to_polygons(bytes(row.geom_wkb))
+        want = geo.intersection_area(band_np, comp)
+        got = row.lu_sum * row.LU_Band if row.lu_sum > 0 else 0.0
+        # LU_Band is a proportion of lu_sum; lu_sum is the per-part band
+        # area itself (single category), so got == exact clip area
+        assert got == pytest.approx(want, abs=1e-9), (row.q, row.r)
+        if (row.q, row.r) in split.index and want > 0:
+            checked_nonzero += 1
+    assert checked_nonzero >= 1, "band must hit at least one split part"
+
+
+def test_impassable_clipped_to_landscape(spark):
+    """An Impassable layer crossing the landscape boundary must only charge
+    the overlap INSIDE the landscape (R/generate_patches.R:148-153)."""
+    land = geo.rect_wkb(0.0, 0.0, 20.0, 20.0)
+    # half in, half out of the landscape
+    imp = geo.rect_wkb(15.0, 5.0, 25.0, 10.0)
+    p = generate_patches(
+        spark, land, hex_width=5.0, reference_point=(0.0, 20.0),
+        min_prop=0.01, add_removed=True,
+        land_use=[("Imp", "Impassable", imp)]).toPandas()
+    removed = p[p.Index.isna()].area.sum()
+    inside_area = 5.0 * 5.0           # imp ∩ landscape = [15,20]x[5,10]
+    assert removed == pytest.approx(inside_area, rel=1e-9)
+    # min_prop drops tiny boundary fragments; conservation within that
+    net = p[p.Index.notna()].area.sum()
+    assert net == pytest.approx(400.0 - inside_area, rel=0.02)
+
+
 def test_seven_neighbours_exist(split_setup):
     """Reference golden fact: split patches create a patch with 7
     neighbours (notebooks/example_for_mossa.R:43-44)."""
