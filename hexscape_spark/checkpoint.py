@@ -45,8 +45,16 @@ def checkpoint(df: DataFrame, root: str, name: str, params: dict | None = None,
     if mode == "reuse" and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
-        if manifest.get("fingerprint") == fp:
-            return spark.read.parquet(os.path.join(path, "data"))
+        data_path_r = os.path.join(path, "data")
+        # validate the data actually backs the manifest before reusing: a
+        # half-deleted checkpoint (or one from a crashed run) must fall
+        # through to recompute, not fail late / read stale data
+        if (manifest.get("fingerprint") == fp
+                and os.path.isdir(data_path_r)
+                and os.path.exists(os.path.join(data_path_r, "_SUCCESS"))):
+            reused = spark.read.parquet(data_path_r)
+            if reused.count() == manifest.get("rows"):
+                return reused
 
     t0 = time.time()
     data_path = os.path.join(path, "data")
@@ -69,8 +77,13 @@ def checkpoint(df: DataFrame, root: str, name: str, params: dict | None = None,
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     os.makedirs(path, exist_ok=True)
-    with open(manifest_path, "w") as f:
+    # atomic manifest publish (temp + rename): readers never observe a
+    # partially-written lineage file, and the manifest only ever points at
+    # fully-written data (it is created strictly after the parquet commit)
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path)
     return out
 
 

@@ -29,7 +29,8 @@ from .tiling import _hex_ring
 def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
                        refx: float = P.REFX, refy: float = P.REFY,
                        poly_id: str = "poly_id", geom: str = "geom_wkb",
-                       exact_area: bool = True) -> DataFrame:
+                       exact_area: bool = True,
+                       simplify_keep: float | None = None) -> DataFrame:
     """Explode polygons into overlapped hex cells.
 
     Output: poly_id, q, r, cell_id, full (bool), cover_area (double; exact
@@ -108,6 +109,12 @@ def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
 
             for _, row in pdf.iterrows():
                 polys_np = geo.wkb_to_polygons(bytes(row[geom]))
+                if simplify_keep is not None:
+                    # executor-side layer prep: ms_simplify(keep=) before
+                    # covering (R/extract_corine.R:273) — per polygon, so
+                    # a huge layer never funnels through the driver
+                    polys_np = geo.simplify_polygons_keep(polys_np,
+                                                          simplify_keep)
                 x0, y0, x1, y1 = geo.polygons_bounds(polys_np)
                 all_rings = [r_ for poly in polys_np for r_ in poly]
                 seg_parts = [geo.ring_segments(r_) for r_ in all_rings]

@@ -305,48 +305,52 @@ def _clip_rings_halfplane(rings: list[np.ndarray], a: np.ndarray,
     def t_of(p):
         return (p[0] - a[0]) * ex + (p[1] - a[1]) * ey
 
-    events = []          # (t, chain_idx, is_start)
+    # endpoint handles: (chain_idx, 0=its start | 1=its end).  Events are
+    # sorted by t with END before START at ties (a touching vertex/hole
+    # yields a zero-width gap that must pair with itself, not cross over a
+    # real interval), then consecutive pairs (2k, 2k+1) span the interior
+    # gaps along the cut line and connect their two handles.  Traversal
+    # follows connections through either handle kind: arriving at a START
+    # appends the chain forward, arriving at an END appends it REVERSED —
+    # so end-end and start-start meetings (hole tangent to the line) close
+    # correctly instead of mis-linking (ADVICE r01).
+    events = []          # (t, end_before_start, chain_idx, handle_end)
     for i, c in enumerate(chains):
-        events.append((t_of(c[0]), i, True))
-        events.append((t_of(c[-1]), i, False))
-    events.sort(key=lambda e: e[0])
-    # pair consecutive events: segment between event 2k and 2k+1 is inside
-    next_from_end: dict[int, int] = {}   # chain idx (at its END) -> next chain idx (START)
-    pend = None
+        events.append((t_of(c[0]), 1, i, 0))     # chain START
+        events.append((t_of(c[-1]), 0, i, 1))    # chain END (ties first)
+    events.sort(key=lambda e: (e[0], e[1]))
+    conn: dict[tuple[int, int], tuple[int, int]] = {}
     for k in range(0, len(events) - 1, 2):
-        e1, e2 = events[k], events[k + 1]
-        # the interior gap runs from e1 to e2; the chain that ENDS at one
-        # side connects to the chain that STARTS at the other
-        if not e1[2] and e2[2]:
-            next_from_end[e1[1]] = e2[1]
-        elif not e2[2] and e1[2]:
-            next_from_end[e2[1]] = e1[1]
-        elif not e1[2] and not e2[2]:
-            # two ends meet: happens when a hole touches the line; join by
-            # reversing one chain — rare, handle by direct pairing
-            next_from_end[e1[1]] = e2[1]
-        else:
-            pend = (e1, e2)
-        # (two starts pairing is symmetric and resolved via the other pairs)
+        _, _, i1, h1 = events[k]
+        _, _, i2, h2 = events[k + 1]
+        conn[(i1, h1)] = (i2, h2)
+        conn[(i2, h2)] = (i1, h1)
     out = list(closed)
     used = set()
     for start in range(len(chains)):
         if start in used:
             continue
-        ring_pts = [chains[start]]
         used.add(start)
-        cur = start
+        ring_pts = [chains[start]]
+        cur = (start, 1)                 # standing at the END of `start`
         guard = 0
-        while guard < len(chains) + 1:
+        while guard <= 2 * len(chains):
             guard += 1
-            nxt = next_from_end.get(cur)
-            if nxt is None or nxt == start:
+            nxt = conn.get(cur)
+            if nxt is None:
                 break
-            if nxt in used:
-                break
-            ring_pts.append(chains[nxt])
-            used.add(nxt)
-            cur = nxt
+            ci, ch = nxt
+            if ci == start and ch == 0:
+                break                    # ring closed at origin's start
+            if ci in used:
+                break                    # degenerate input; bail safely
+            used.add(ci)
+            if ch == 0:                  # entered at its start: forward
+                ring_pts.append(chains[ci])
+                cur = (ci, 1)
+            else:                        # entered at its end: reversed
+                ring_pts.append(chains[ci][::-1])
+                cur = (ci, 0)
         ring = np.vstack(ring_pts)
         # drop duplicate consecutive points
         keep = np.ones(len(ring), dtype=bool)
@@ -596,14 +600,8 @@ def segment_length_in_polygons(p0: np.ndarray, p1: np.ndarray,
 
 # --- simplification -----------------------------------------------------------------
 
-def douglas_peucker(ring: np.ndarray, tolerance: float) -> np.ndarray:
-    """DP simplify an open ring (kept closed logically).
-
-    Reference pins method="dp" in ms_simplify (R/extract_corine.R:273); the
-    keep-ratio knob becomes a tolerance here (SURVEY.md §7.3 item 2).
-    """
-    if len(ring) <= 4 or tolerance <= 0:
-        return ring
+def _dp_keep_mask(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Raw DP keep mask over the closed ring (no minimum-vertex fallback)."""
     pts = np.vstack([ring, ring[:1]])
     keep = np.zeros(len(pts), dtype=bool)
     keep[0] = keep[-1] = True
@@ -624,8 +622,55 @@ def douglas_peucker(ring: np.ndarray, tolerance: float) -> np.ndarray:
             j = i0 + 1 + jmax
             keep[j] = True
             stack.extend([(i0, j), (j, i1)])
-    out = pts[keep][:-1]
+    return keep
+
+
+def dp_keep_count(ring: np.ndarray, tolerance: float) -> int:
+    """Vertices DP would keep at this tolerance — MONOTONE non-increasing
+    in tolerance (unlike len(douglas_peucker(...)), whose degenerate-ring
+    fallback jumps back to the input size), so calibration can bisect it."""
+    if len(ring) <= 4 or tolerance <= 0:
+        return len(ring)
+    return int(_dp_keep_mask(ring, tolerance).sum()) - 1
+
+
+def douglas_peucker(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """DP simplify an open ring (kept closed logically).
+
+    Reference pins method="dp" in ms_simplify (R/extract_corine.R:273); the
+    keep-ratio knob becomes a tolerance here (SURVEY.md §7.3 item 2).
+    """
+    if len(ring) <= 4 or tolerance <= 0:
+        return ring
+    out = np.vstack([ring, ring[:1]])[_dp_keep_mask(ring, tolerance)][:-1]
     return out if len(out) >= 3 else ring
+
+
+def simplify_polygons_keep(polys: list[list[np.ndarray]], keep: float,
+                           iters: int = 40) -> list[list[np.ndarray]]:
+    """ms_simplify(keep=, method="dp") (R/extract_corine.R:273): binary-
+    search ONE global DP tolerance so the kept-vertex ratio across all
+    rings lands on `keep` (vertex counts are monotone non-increasing in
+    tolerance, so bisection converges; DP granularity limits exactness to
+    the nearest achievable count)."""
+    total = sum(len(r) for poly in polys for r in poly)
+    if keep >= 1.0 or total == 0:
+        return polys
+
+    def count(tol: float) -> int:
+        return sum(dp_keep_count(r, tol) for poly in polys for r in poly)
+
+    x0, y0, x1, y1 = polygons_bounds(polys)
+    lo, hi = 0.0, float(np.hypot(x1 - x0, y1 - y0))
+    target = keep * total
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if count(mid) > target:
+            lo = mid
+        else:
+            hi = mid
+    tol = lo if abs(count(lo) - target) <= abs(count(hi) - target) else hi
+    return [[douglas_peucker(r, tol) for r in poly] for poly in polys]
 
 
 # --- bounds -----------------------------------------------------------------------

@@ -67,7 +67,8 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                      keep_geometry: bool = False,
                      lattice_partitions: int | None = None,
                      name: str = "patch", name_index: bool = False,
-                     add_removed: bool = False) -> DataFrame:
+                     add_removed: bool = False,
+                     simplify_keep: float | None = None) -> DataFrame:
     """Tile `landscape_wkb` with hexagons; returns the patches DataFrame.
 
     land_use: list of (category, kind, wkb) where kind in
@@ -79,6 +80,19 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
     refx, refy = reference_point
     hexarea = P.hex_area(hex_width)
     hexhgt = P.hex_height(hex_width)
+    if simplify_keep is not None:
+        # layer prep exactly like the reference's ms_simplify(keep=,
+        # method="dp") before tiling (R/extract_corine.R:273,
+        # R/generate_patches.R:153,193,241)
+        landscape_wkb = geo.multipolygon_to_wkb(
+            geo.simplify_polygons_keep(geo.wkb_to_polygons(landscape_wkb),
+                                       simplify_keep))
+        if land_use:
+            land_use = [
+                (c, k, geo.multipolygon_to_wkb(
+                    geo.simplify_polygons_keep(geo.wkb_to_polygons(wkb),
+                                               simplify_keep)))
+                for c, k, wkb in land_use]
     landscape = geo.wkb_to_polygons(landscape_wkb)
     minx, miny, maxx, maxy = geo.polygons_bounds(landscape)
 

@@ -99,3 +99,66 @@ def test_douglas_peucker_reduces_vertices():
     simp = geo.douglas_peucker(ring, 0.05)
     assert 3 <= len(simp) < 50
     assert abs(geo.ring_area_signed(simp)) == pytest.approx(np.pi, rel=0.1)
+
+
+def test_simplify_keep_ratio_calibration():
+    """ms_simplify(keep=0.25) parity: the binary-searched tolerance lands
+    the kept-vertex ratio within +/-5% of the target on a rough coastline
+    (SURVEY 7.3.2 / VERDICT r01 #9)."""
+    rng = np.random.RandomState(3)
+    t = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    radii = 10.0 + np.cumsum(rng.normal(scale=0.15, size=len(t)))
+    radii -= np.linspace(0, radii[-1] - radii[0], len(t))  # close the walk
+    ring = np.c_[radii * np.cos(t), radii * np.sin(t)]
+    simp = geo.simplify_polygons_keep([[ring]], keep=0.25)
+    ratio = len(simp[0][0]) / len(ring)
+    assert abs(ratio - 0.25) <= 0.05, ratio
+    # area roughly conserved
+    a0 = abs(geo.ring_area_signed(ring))
+    a1 = abs(geo.ring_area_signed(simp[0][0]))
+    assert a1 == pytest.approx(a0, rel=0.05)
+
+
+def test_generate_patches_simplify_keep_knob(spark):
+    """The simplify_keep knob preps layers without breaking conservation."""
+    from hexscape_spark.tiling import generate_patches
+    rng = np.random.RandomState(5)
+    t = np.linspace(0, 2 * np.pi, 300, endpoint=False)
+    radii = 20.0 + rng.normal(scale=0.05, size=len(t))
+    ring = np.c_[25 + radii * np.cos(t), 25 + radii * np.sin(t)]
+    land = geo.polygon_to_wkb([ring])
+    p = generate_patches(spark, land, hex_width=5.0,
+                         reference_point=(0.0, 50.0),
+                         simplify_keep=0.3).toPandas()
+    want = abs(geo.ring_area_signed(ring))
+    assert p.area.sum() == pytest.approx(want, rel=0.05)
+
+
+def test_clip_components_touching_vertex_and_hole():
+    """Degenerate stitching cases (ADVICE r01): a vertex exactly on the cut
+    line and a hole tangent to the clip boundary must still produce
+    components whose total area equals the exact Sutherland-Hodgman area."""
+    clip = geo.rect_ring(0, 0, 10, 10)
+    # diamond with vertices exactly on the clip edges
+    diamond = [np.array([[5, -2], [12, 5], [5, 12], [-2, 5]], float)]
+    comps = geo.clip_polygon_components(diamond, clip)
+    got = sum(geo.polygon_area(c) for c in comps)
+    want = geo.area_polygons_in_convex([diamond], clip)
+    assert got == pytest.approx(want, abs=1e-9)
+
+    # hole tangent to the clip boundary from inside (touches y=0 at a point)
+    outer = geo.rect_ring(-5, -5, 15, 15)
+    hole = np.array([[5, 0], [8, 4], [2, 4]], float)
+    poly = [outer, hole]
+    comps = geo.clip_polygon_components(poly, clip)
+    got = sum(geo.polygon_area(c) for c in comps)
+    want = geo.area_polygons_in_convex([poly], clip)
+    assert got == pytest.approx(want, abs=1e-9)
+
+    # hole vertex exactly on the cut line splitting into two touching lobes
+    outer2 = geo.rect_ring(-5, -5, 15, 15)
+    hole2 = np.array([[0, 5], [4, 9], [4, 1]], float)  # vertex at x=0 edge
+    comps = geo.clip_polygon_components([outer2, hole2], clip)
+    got = sum(geo.polygon_area(c) for c in comps)
+    want = geo.area_polygons_in_convex([[outer2, hole2]], clip)
+    assert got == pytest.approx(want, abs=1e-9)
