@@ -21,9 +21,13 @@ Pipeline (squares rasterisation):
   8. Capacity = area_km² × patch_density          (:316-317)
 
 Scale notes: steps 2-5 are DataFrame stages (map-only UDFs + one window);
-component labelling (6) runs driver-side over the bounded included-cell
-set (|cells| ≤ landscape/raster_size; the label-propagation join variant is
-the scale path, cf. graph.bfs_hops).
+component labelling (6) is DISTRIBUTED min-label propagation with pointer
+jumping over the 4-neighbour grid adjacency (equi-joins only, O(log n)
+rounds, each round localCheckpointed — the graph.bfs_hops pattern), and
+the k-means splitting (7) is a grouped-map over components.  The only
+driver materialisations left are the habitat dimension table and the
+synthetic point coordinates (both bounded; the points are broadcast into
+the KDE closure regardless).
 """
 
 from __future__ import annotations
@@ -45,6 +49,55 @@ def bandwidth_nrd(x: np.ndarray) -> float:
     q25, q75 = np.quantile(x, [0.25, 0.75])
     h = (q75 - q25) / 1.34
     return 4 * 1.06 * min(float(np.std(x, ddof=1)), h) * len(x) ** (-0.2)
+
+
+def grid_components(cells: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Distributed connected components of raster cells under 4-adjacency.
+
+    Min-label propagation with pointer jumping: each round every cell takes
+    the min of its own label and its neighbours' labels, then labels are
+    short-circuited through one label-of-label join — O(log diameter)
+    rounds of pure equi-joins (no driver materialisation; the
+    graph.bfs_hops iterative pattern).  Returns (ix, iy, comp) where comp
+    is the component's minimum node key.
+    """
+    nodes = cells.select("ix", "iy").distinct().selectExpr(
+        "ix", "iy", "CAST(iy AS BIGINT) * 1000000 + ix AS node") \
+        .localCheckpoint(eager=True)
+    right = nodes.selectExpr("ix AS jx", "iy AS jy", "node AS nbr")
+    e = []
+    for dx, dy in ((1, 0), (0, 1)):
+        e.append(nodes.join(
+            right, (F.col("ix") + dx == F.col("jx")) &
+                   (F.col("iy") + dy == F.col("jy")))
+            .select("node", "nbr"))
+    edges = e[0].unionByName(e[1])
+    edges = edges.unionByName(
+        edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))) \
+        .localCheckpoint(eager=True)
+    lab = nodes.select("node", F.col("node").alias("lab")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (edges.join(lab.withColumnRenamed("node", "nbr"), on="nbr")
+                   .groupBy("node").agg(F.min("lab").alias("nlab")))
+        new = (lab.join(nbr_min, on="node", how="left")
+               .select("node", F.least("lab", F.coalesce("nlab", "lab"))
+                       .alias("lab")))
+        # pointer jump: lab <- lab(lab)
+        jump = lab.select(F.col("node").alias("lab"),
+                          F.col("lab").alias("lab2"))
+        new = (new.join(jump, on="lab", how="left")
+               .select("node", F.least("lab", F.coalesce("lab2", "lab"))
+                       .alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = (new.withColumnRenamed("lab", "new_lab")
+                   .join(lab, on="node")
+                   .where(F.col("new_lab") != F.col("lab")).count())
+        lab = new
+        if changed == 0:
+            break
+    return (nodes.join(lab, on="node")
+            .select("ix", "iy", F.col("lab").alias("comp")))
 
 
 def habitat_points(habitat: DataFrame, point_density_per_km2: float,
@@ -160,63 +213,47 @@ def discretise_habitat(spark: SparkSession, habitat: DataFrame,
         return ranked.orderBy("delta").limit(1).collect()[0]["z"]
 
     z1 = pick_target_z(dens)
-    inc1 = dens.where(F.col("z") >= z1).toPandas()
+    inc1 = dens.where(F.col("z") >= z1)
 
-    # 6. connected components on the square raster (exact st_cast POLYGON)
-    def components(cdf: pd.DataFrame) -> pd.Series:
-        idx = {(r.ix, r.iy): i for i, r in enumerate(cdf.itertuples())}
-        parent = list(range(len(cdf)))
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        for (ix, iy), i in idx.items():
-            for nb in ((ix + 1, iy), (ix, iy + 1)):
-                j = idx.get(nb)
-                if j is not None:
-                    ra, rb = find(i), find(j)
-                    if ra != rb:
-                        parent[ra] = rb
-        roots = {}
-        labels = np.empty(len(cdf), dtype=np.int64)
-        for i in range(len(cdf)):
-            r = find(i)
-            labels[i] = roots.setdefault(r, len(roots) + 1)
-        return pd.Series(labels, index=cdf.index)
-
-    inc1["comp"] = components(inc1)
+    # 6. connected components — distributed label propagation
+    comp1 = grid_components(inc1)
+    cells1 = inc1.join(comp1, on=["ix", "iy"])
     # eligibility: components >= min_size (first pass, :218-229)
-    comp_area = inc1.groupby("comp").area.sum() / 1e6
-    ok_comps = set(comp_area[comp_area >= min_size_km2].index)
-    eligible_keys = set(map(tuple, inc1[inc1.comp.isin(ok_comps)][["ix", "iy"]].values))
-    # cells bordering eligible polygons are also eligible (st_intersects :231-234)
-    border = set()
-    for ix, iy in eligible_keys:
-        border.update({(ix + 1, iy), (ix - 1, iy), (ix, iy + 1), (ix, iy - 1),
-                       (ix + 1, iy + 1), (ix - 1, iy - 1),
-                       (ix + 1, iy - 1), (ix - 1, iy + 1)})
-    eligible_all = eligible_keys | border
-
-    elig_pdf = dens.toPandas()
-    elig_pdf = elig_pdf[[tuple(k) in eligible_all
-                         for k in elig_pdf[["ix", "iy"]].values]]
-    elig_df = spark.createDataFrame(elig_pdf)
+    ok_comps = (cells1.groupBy("comp")
+                .agg((F.sum("area") / 1e6).alias("km2"))
+                .where(F.col("km2") >= min_size_km2).select("comp"))
+    eligible = cells1.join(ok_comps, on="comp").select("ix", "iy")
+    # cells bordering eligible polygons are also eligible
+    # (st_intersects :231-234): 8-offset expansion + equi-join back
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx INT, dy INT")
+    expanded = (eligible.crossJoin(F.broadcast(offs))
+                .selectExpr("ix + dx AS ix", "iy + dy AS iy").distinct())
+    elig_df = dens.join(expanded, on=["ix", "iy"], how="left_semi") \
+        .localCheckpoint(eager=True)
     z2 = pick_target_z(elig_df)
-    final = elig_pdf[elig_pdf.z >= z2].copy()
-    final["comp"] = components(final)
+    final = elig_df.where(F.col("z") >= z2)
+    final = final.join(grid_components(final), on=["ix", "iy"])
+    # dense 1..n main-patch numbering in deterministic (min node key) order
+    wr = Window.orderBy("comp")
+    ranks = final.select("comp").distinct() \
+        .withColumn("main_patch", F.dense_rank().over(wr))
+    final = final.join(F.broadcast(ranks), on="comp")
 
-    # 7. split big components with seeded k-means + nearest-centre assignment
-    rng = np.random.RandomState(seed)
-    rows = []
-    for comp, grp in final.groupby("comp"):
+    # 7. split big components: grouped-map k-means per component (executors
+    # fan out across components; deterministic per-component seed)
+    out_schema = ("main_patch INT, sub_patch INT, area DOUBLE")
+
+    def split_comp(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf.sort_values(["ix", "iy"]).reset_index(drop=True)
+        main = int(grp["main_patch"].iloc[0])
         area_km2 = grp.area.sum() / 1e6
         split = int(np.ceil(area_km2 / max_size_km2))
         if split <= 1:
-            rows.append((int(comp), 1, float(grp.area.sum())))
-            continue
+            return pd.DataFrame({"main_patch": [main], "sub_patch": [1],
+                                 "area": [float(grp.area.sum())]})
+        rng = np.random.RandomState(seed + main)
         xy = grp[["cx", "cy"]].to_numpy()
         wts = grp["area"].to_numpy()
         # k-means++ init, Lloyd iterations (reference: Hartigan-Wong; both
@@ -226,6 +263,7 @@ def discretise_habitat(spark: SparkSession, habitat: DataFrame,
             d2 = np.min([((xy - c) ** 2).sum(axis=1) for c in centers], axis=0)
             centers.append(xy[rng.choice(len(xy), p=d2 / d2.sum())])
         centers = np.array(centers)
+        assign = np.zeros(len(xy), dtype=int)
         for _ in range(50):
             assign = np.argmin(((xy[:, None, :] - centers[None, :, :]) ** 2)
                                .sum(axis=2), axis=1)
@@ -236,14 +274,17 @@ def discretise_habitat(spark: SparkSession, habitat: DataFrame,
             if np.allclose(new_c, centers):
                 break
             centers = new_c
-        for k in range(split):
-            a = float(wts[assign == k].sum())
-            if a > 0:
-                rows.append((int(comp), k + 1, a))
+        rows = [(main, k + 1, float(wts[assign == k].sum()))
+                for k in range(split) if (assign == k).any()]
+        return pd.DataFrame(rows, columns=["main_patch", "sub_patch", "area"])
 
-    out = pd.DataFrame(rows, columns=["main_patch", "sub_patch", "area"])
-    out["PatchID"] = out.main_patch.astype(str) + "_" + out.sub_patch.astype(str)
-    out["Capacity"] = out.area / 1e6 * patch_density_per_km2
+    out = final.groupBy("main_patch").applyInPandas(split_comp,
+                                                    schema=out_schema)
+    out = out.select(
+        F.concat_ws("_", F.col("main_patch").cast("string"),
+                    F.col("sub_patch").cast("string")).alias("PatchID"),
+        "main_patch", "sub_patch", "area",
+        (F.col("area") / 1e6 * patch_density_per_km2).alias("Capacity"))
+    out = out.localCheckpoint(eager=True)
     dens.unpersist()
-    return spark.createDataFrame(
-        out[["PatchID", "main_patch", "sub_patch", "area", "Capacity"]])
+    return out

@@ -61,3 +61,51 @@ def test_deterministic(spark, habitat_df):
         .sort_values("PatchID").reset_index(drop=True)
     assert (a.PatchID.values == b.PatchID.values).all()
     assert np.allclose(a.area.values, b.area.values)
+
+
+def test_habitat_no_cell_level_driver_funnels():
+    """Scale contract (VERDICT r01 #10): only the habitat dimension table
+    and the synthetic point coordinates may funnel through the driver —
+    raster cells and components must stay distributed."""
+    import inspect
+
+    from hexscape_spark import habitat as hab_mod
+    src = inspect.getsource(hab_mod.discretise_habitat)
+    assert src.count(".toPandas()") <= 2   # hab_pd + point coords only
+    comp_src = inspect.getsource(hab_mod.grid_components)
+    assert ".toPandas()" not in comp_src and ".collect()" not in comp_src
+
+
+def test_grid_components_labels_match_unionfind(spark):
+    """Label propagation == classic union-find on a random raster mask."""
+    import numpy as np
+    from hexscape_spark.habitat import grid_components
+    rng = np.random.RandomState(11)
+    mask = rng.rand(20, 20) < 0.45
+    keys = [(int(ix), int(iy)) for iy, ix in zip(*np.nonzero(mask))]
+    df = spark.createDataFrame(keys, "ix INT, iy INT")
+    got = {(r.ix, r.iy): r.comp for r in grid_components(df).collect()}
+    # reference union-find
+    idx = {k: i for i, k in enumerate(keys)}
+    parent = list(range(len(keys)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (ix, iy), i in idx.items():
+        for nb in ((ix + 1, iy), (ix, iy + 1)):
+            if nb in idx:
+                ra, rb = find(i), find(idx[nb])
+                if ra != rb:
+                    parent[ra] = rb
+    want_groups = {}
+    for k, i in idx.items():
+        want_groups.setdefault(find(i), set()).add(k)
+    got_groups = {}
+    for k, c in got.items():
+        got_groups.setdefault(c, set()).add(k)
+    assert sorted(map(sorted, want_groups.values())) == \
+        sorted(map(sorted, got_groups.values()))
