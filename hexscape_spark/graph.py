@@ -29,6 +29,21 @@ def kring_cells(cells: DataFrame, k: int, q: str = "q", r: str = "r") -> DataFra
             .drop("dq", "dr"))
 
 
+def ego_difference(cells: DataFrame, k: int, q: str = "q",
+                   r: str = "r") -> DataFrame:
+    """Exact ring k as SET DIFFERENCE: disk(k) exceptAll disk(k-1) — the
+    reference's ego-set differencing (notebooks/network_distance.R:124-130)
+    expressed with the relational anti-multiset operator (O5).  Equivalent
+    to kring_cells(k).where(ring == k); kept as the set-algebra form the
+    reference notebook uses."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = [q, r, "nbr_q", "nbr_r"]
+    disk_k = kring_cells(cells.select(q, r), k, q, r).select(cols)
+    disk_k1 = kring_cells(cells.select(q, r), k - 1, q, r).select(cols)
+    return disk_k.exceptAll(disk_k1)
+
+
 def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 32,
              src_col: str = "Index", dst_col: str = "Neighbour") -> DataFrame:
     """Multi-source BFS: hop distance from any source to every reachable

@@ -59,6 +59,24 @@ def regroup_landcover(df: DataFrame, regroup: "int | DataFrame",
             .drop("__rk", "__rg"))
 
 
+def regroup_colours(legend: DataFrame, level: int, code: str = "clc",
+                    colour: str = "colour") -> DataFrame:
+    """Averaged group colours (R/load_corine.R:73-76): when codes regroup
+    to a digit-prefix level, the group's display colour is the per-channel
+    mean of its members' #RRGGBB colours, rendered back to hex.  Pure
+    column expressions (conv/hex) over the tiny legend dimension."""
+
+    def chan(pos: int):
+        return F.expr(f"CAST(conv(substring({colour}, {pos}, 2), 16, 10) "
+                      "AS DOUBLE)")
+
+    g = (legend.groupBy(F.substring(F.col(code), 1, level).alias(code))
+         .agg(*[F.round(F.avg(chan(2 + 2 * i))).cast("int").alias(f"__c{i}")
+                for i in range(3)]))
+    parts = [F.lpad(F.expr(f"hex(__c{i})"), 2, "0") for i in range(3)]
+    return g.select(code, F.concat(F.lit("#"), *parts).alias(colour))
+
+
 def with_clc_labels(df: DataFrame, legend: DataFrame,
                     code: str = "clc") -> DataFrame:
     """Three-level label join (R/load_corine.R:291-294).
