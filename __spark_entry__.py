@@ -705,18 +705,23 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_pairs_duck(num_hashes: int = 16, bands: int = 4,
                             k: int = 3) -> str:
-    """DuckDB mirror of minhash_lsh_pairs_portable (same hash, same
-    shingling, same banding; list slices are 1-based inclusive)."""
-    h = sqlgen.md5_int_expr("concat(CAST(p AS STRING), ':', s)")
+    """DuckDB mirror of minhash_lsh_pairs_portable (same md5-folded base,
+    same exact-int64 permutation mixing, same shingling and banding; list
+    slices are 1-based inclusive)."""
+    base = sqlgen.md5_int_expr("s")
+    mix = sqlgen.mix_params(num_hashes)
+    perm_rows = ", ".join(f"({i}, {a}, {b}, {c})"
+                          for i, (a, b, c) in enumerate(mix))
+    h = sqlgen.mix_expr("base", "pa", "pb", "pc", intdiv="//")
     rows = num_hashes // bands
     return f"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
 sh AS (SELECT doc_id, CASE WHEN len(w) >= {k}
         THEN [array_to_string(w[i:i+{k - 1}], ' ') FOR i IN range(1, len(w) - {k - 2})]
         ELSE [array_to_string(w, ' ')] END AS shingles FROM w),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ex AS (SELECT doc_id, {base} AS base FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
 hs AS (SELECT doc_id, p, MIN({h}) AS m
-       FROM ex CROSS JOIN (SELECT unnest(range({num_hashes})) AS p) AS ps
+       FROM ex CROSS JOIN (SELECT * FROM (VALUES {perm_rows}) AS v(p, pa, pb, pc)) AS ps
        GROUP BY doc_id, p),
 sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM hs GROUP BY doc_id),
 bnd AS (SELECT doc_id, bb, array_to_string(sig[bb*{rows}+1 : bb*{rows}+{rows}], ',') AS bk
@@ -729,7 +734,10 @@ FROM bnd x JOIN bnd y ON x.bb = y.bb AND x.bk = y.bk AND x.doc_id < y.doc_id
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     from hexscape_spark.similarity import cosine_topk_lsh
-    return cosine_topk_lsh(spark.table("embeddings"), planes=6, tables=4)
+    # planes=10 -> 1024 buckets/table keeps candidate pairs sparse on the
+    # clustered corpus; 4 OR-construction tables restore the recall a
+    # single selective table would lose
+    return cosine_topk_lsh(spark.table("embeddings"), planes=10, tables=4)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

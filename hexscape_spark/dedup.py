@@ -139,12 +139,19 @@ def minhash_lsh_pairs_portable(df: DataFrame, key: str = "doc_id",
     from . import sqlgen
     rows = num_hashes // bands
     sh = df.select(F.col(key), _shingles(F.col(text), shingle_k).alias("__sh"))
+    # ONE md5 fold per shingle; permutations are exact-int64 linear mixes
+    # of the base (sqlgen.mix_expr) — 16 md5s per shingle would dominate
+    # the whole pipeline (measured 8x wall-clock).
+    based = sh.selectExpr(
+        key, f"transform(__sh, s -> {sqlgen.md5_int_expr('s')}) AS __b")
+    # Same exchange barrier as the xxhash64 path (bases computed once).
+    based = based.repartition(F.col(key))
+    mix = sqlgen.mix_params(num_hashes)
     mins = [
-        ("array_min(transform(__sh, s -> "
-         + sqlgen.md5_int_expr(f"concat('{i}:', s)") + f")) AS m{i}")
+        (f"array_min(transform(__b, b -> "
+         f"{sqlgen.mix_expr('b', *mix[i], intdiv='DIV')})) AS m{i}")
         for i in range(num_hashes)]
-    # Same exchange barrier as the xxhash64 path (signatures computed once).
-    sig = sh.selectExpr(key, *mins).repartition(F.col(key))
+    sig = based.selectExpr(key, *mins)
     band_cols = [
         F.concat_ws(",", *[F.col(f"m{b * rows + j}").cast("string")
                            for j in range(rows)]).alias(f"b{b}")

@@ -162,6 +162,35 @@ def md5_int_expr(expr: str, digits: int = 15) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Linear permutation mixing over the 60-bit base hash: h_i(b) =
+# (A_i*(b mod 2^30) + B_i*(b div 2^30) + C_i) mod P with A,B < 2^22 and
+# P < 2^52, so every intermediate fits int64 EXACTLY in both engines (max
+# ~2^54).  One md5 fold per value, then pure arithmetic per permutation —
+# a 2-universal hash of the (lo, hi) pair, plenty for minhash.
+MIX_LO = 1 << 30
+MIX_P = 4503599627370449          # prime < 2^52
+
+
+def mix_params(num: int, seed: int = 1234567) -> list[tuple[int, int, int]]:
+    """Deterministic (A_i, B_i, C_i) mixing constants (LCG, driver-side)."""
+    state = seed
+    out = []
+    for _ in range(num):
+        trip = []
+        for bound in ((1 << 22) - 1, (1 << 22) - 1, MIX_P):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            trip.append(1 + state % bound if bound != MIX_P else state % MIX_P)
+        out.append(tuple(trip))
+    return out
+
+
+def mix_expr(b: str, a: int, bb: int, c: int, intdiv: str = "DIV") -> str:
+    """h = (a*lo + bb*hi + c) % P as SQL text; `intdiv` is the dialect's
+    integer-division keyword (Spark: DIV, DuckDB: //)."""
+    return (f"(({a} * (({b}) % {MIX_LO}) + {bb} * (({b}) {intdiv} {MIX_LO})"
+            f" + {c}) % {MIX_P})")
+
+
 # ---------------------------------------------------------------------------
 # Whole geocode+assign query over a table with an integer key
 # ---------------------------------------------------------------------------
