@@ -143,7 +143,7 @@ def minhash_lsh_pairs_portable(df: DataFrame, key: str = "doc_id",
     # of the base (sqlgen.mix_expr) — 16 md5s per shingle would dominate
     # the whole pipeline (measured 8x wall-clock).
     based = sh.selectExpr(
-        key, f"transform(__sh, s -> {sqlgen.md5_int_expr('s')}) AS __b")
+        key, f"transform(__sh, s -> {sqlgen.md5_int_expr_spark('s')}) AS __b")
     # Same exchange barrier as the xxhash64 path (bases computed once).
     based = based.repartition(F.col(key))
     mix = sqlgen.mix_params(num_hashes)
@@ -197,7 +197,7 @@ def with_simhash_portable(df: DataFrame, key: str = "doc_id",
     tok = df.select(
         F.col(key),
         F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("w"))
-    tok = tok.selectExpr(key, sqlgen.md5_int_expr("w") + " AS h")
+    tok = tok.selectExpr(key, sqlgen.md5_int_expr_spark("w") + " AS h")
     votes = [
         F.expr(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)")
         .alias(f"v{j}") for j in range(bits)]
