@@ -646,6 +646,57 @@ def douglas_peucker(ring: np.ndarray, tolerance: float) -> np.ndarray:
     return out if len(out) >= 3 else ring
 
 
+def buffer_parts(polys: list[list[np.ndarray]], dist: float,
+                 quad_segs: int = 8) -> list[list[np.ndarray]]:
+    """Positive-distance st_buffer (round joins) as OVERLAPPING parts whose
+    union is the Minkowski sum P ⊕ disk(dist): the polygons themselves +
+    one rectangle per boundary edge (both rings: outer edges grow, hole
+    edges shrink the hole) + one (4*quad_segs)-gon disk per vertex.
+
+    Pair with union_area for the buffered area and multipolygon_to_wkb for
+    a parts representation; for CONTAINMENT tests prefer points_in_buffer,
+    which is exact (no disk polygonization error).  Reference usages:
+    tolerance inflation (R/generate_neighbours.R:33-36,54) and impassable
+    smoothing (R/generate_patches.R:193).
+    """
+    if dist <= 0:
+        return polys
+    n_arc = max(4, 4 * quad_segs)
+    t = np.linspace(0.0, 2.0 * np.pi, n_arc, endpoint=False)
+    disk = np.c_[np.cos(t), np.sin(t)] * dist
+    parts: list[list[np.ndarray]] = [p for p in polys]
+    for poly in polys:
+        for ring in poly:
+            a = ring
+            b = np.roll(ring, -1, axis=0)
+            for i in range(len(ring)):
+                e = b[i] - a[i]
+                ln = float(np.hypot(*e))
+                if ln > 0.0:
+                    nx, ny = -e[1] / ln * dist, e[0] / ln * dist
+                    parts.append([np.array([
+                        [a[i][0] + nx, a[i][1] + ny],
+                        [b[i][0] + nx, b[i][1] + ny],
+                        [b[i][0] - nx, b[i][1] - ny],
+                        [a[i][0] - nx, a[i][1] - ny]])])
+                parts.append([disk + a[i]])
+    return parts
+
+
+def buffer_area(polys: list[list[np.ndarray]], dist: float,
+                quad_segs: int = 8) -> float:
+    """Area of st_buffer(polys, dist) — exact union of the parts (disk
+    polygonization is the only approximation; error -> 0 with quad_segs)."""
+    return union_area(buffer_parts(polys, dist, quad_segs))
+
+
+def points_in_buffer(px: np.ndarray, py: np.ndarray,
+                     polys: list[list[np.ndarray]], dist: float) -> np.ndarray:
+    """EXACT st_contains(st_buffer(polys, dist), point): distance to the
+    areal geometry <= dist — no polygonization at all."""
+    return dist_points_to_polygons(px, py, polys) <= dist
+
+
 def simplify_polygons_keep(polys: list[list[np.ndarray]], keep: float,
                            iters: int = 40) -> list[list[np.ndarray]]:
     """ms_simplify(keep=, method="dp") (R/extract_corine.R:273): binary-

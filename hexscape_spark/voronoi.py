@@ -125,6 +125,127 @@ def discretise_voronoi(spark: SparkSession, map_wkb: bytes,
     return out if keep_geometry else out.drop("geom_wkb")
 
 
+def discretise_voronoi_blocked(spark: SparkSession, map_wkb: bytes,
+                               points: DataFrame, block_size: float,
+                               idx: str = "Index", x: str = "x",
+                               y: str = "y",
+                               keep_geometry: bool = True,
+                               max_doublings: int = 16) -> DataFrame:
+    """Scale path for discretise_voronoi (SURVEY §7.3.3): seeds never
+    funnel through the driver.
+
+    Seeds hash into square blocks of `block_size`; each seed's candidate
+    set is every seed within Chebyshev block distance k (a broadcast
+    offset equi-join, exactly the hex kRing pattern).  The cell computed
+    from candidates is PROVABLY the true Voronoi cell when
+    k*block_size > 2*R (R = max distance from the seed to its cell
+    vertices): any non-candidate seed is at distance >= k*block_size, so
+    its bisector cannot cut the cell.  Seeds failing the bound (sparse
+    regions) retry with doubled k — a shrinking frontier, like bfs_hops.
+
+    Exactness parity with the broadcast path is pytest-verified.
+    """
+    map_polys = geo.wkb_to_polygons(map_wkb)
+    minx, miny, maxx, maxy = geo.polygons_bounds(map_polys)
+    envelope = geo.rect_ring(minx, miny, maxx, maxy)
+    env_diag = float(np.hypot(maxx - minx, maxy - miny))
+    bs = float(block_size)
+    map_bytes = map_wkb
+
+    seeds = points.select(idx, x, y).withColumn(
+        "bx", F.floor(F.col(x) / bs).cast("long")).withColumn(
+        "by", F.floor(F.col(y) / bs).cast("long"))
+    seeds = seeds.localCheckpoint(eager=True)
+
+    out_schema = (f"{idx} LONG, {x} DOUBLE, {y} DOUBLE, Area DOUBLE, "
+                  "centroid_x DOUBLE, centroid_y DOUBLE, geom_wkb BINARY, "
+                  "__ok BOOLEAN")
+
+    def solver(k: int):
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            polys = geo.wkb_to_polygons(map_bytes)
+            grp = pdf[pdf["__self"]]
+            cands = pdf[[x, y]].to_numpy(dtype=np.float64)
+            rows = []
+            for _, row in grp.iterrows():
+                p = np.array([row[x], row[y]])
+                # candidate-local Voronoi cell within the envelope
+                d2 = ((cands[:, 0] - p[0]) ** 2 +
+                      (cands[:, 1] - p[1]) ** 2)
+                order = np.argsort(d2)
+                cell = envelope
+                for j in order:
+                    if d2[j] == 0.0 or len(cell) < 3:
+                        continue
+                    far = np.max((cell[:, 0] - p[0]) ** 2 +
+                                 (cell[:, 1] - p[1]) ** 2)
+                    if d2[j] > 4.0 * far:
+                        break
+                    cell = _halfplane_clip(cell, p, cands[j])
+                r_max = float(np.sqrt(np.max(
+                    (cell[:, 0] - p[0]) ** 2 + (cell[:, 1] - p[1]) ** 2))) \
+                    if len(cell) >= 3 else 0.0
+                ok = (k * bs > 2.0 * r_max) or (k * bs >= env_diag)
+                if ok and len(cell) >= 3:
+                    clipped = [geo.clip_polygon_to_convex(
+                        poly, geo.ensure_ccw(cell)) for poly in polys]
+                    clipped = [c for c in clipped if c]
+                    area = geo.polygons_area(clipped)
+                    if clipped:
+                        cx, cy = geo.polygons_centroid(clipped)
+                        wkb = geo.multipolygon_to_wkb(clipped)
+                    else:
+                        cx, cy, wkb = float("nan"), float("nan"), None
+                    rows.append((int(row[idx]), float(p[0]), float(p[1]),
+                                 area, cx, cy, wkb, True))
+                else:
+                    rows.append((int(row[idx]), float(p[0]), float(p[1]),
+                                 0.0, 0.0, 0.0, None, False))
+            return pd.DataFrame(rows, columns=[idx, x, y, "Area",
+                                               "centroid_x", "centroid_y",
+                                               "geom_wkb", "__ok"])
+        return run
+
+    done = None
+    todo = seeds
+    k = 1
+    for _ in range(max_doublings):
+        offs = spark.createDataFrame(
+            [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)],
+            "dx LONG, dy LONG")
+        # candidates: all seeds in the k-ring of each TODO seed's block
+        target_blocks = (todo.select("bx", "by").distinct()
+                         .crossJoin(F.broadcast(offs))
+                         .selectExpr("bx + dx AS bx", "by + dy AS by",
+                                     "bx AS hbx", "by AS hby"))
+        cand = seeds.join(target_blocks, on=["bx", "by"]) \
+            .select(idx, x, y, F.col("hbx"), F.col("hby"))
+        own = todo.select(idx, x, y,
+                          F.col("bx").alias("hbx"), F.col("by").alias("hby")) \
+            .withColumn("__self", F.lit(True))
+        cand = cand.join(own.select(idx, "hbx", "hby", "__self"),
+                         on=[idx, "hbx", "hby"], how="left") \
+            .withColumn("__self", F.coalesce("__self", F.lit(False)))
+        res = cand.groupBy("hbx", "hby").applyInPandas(
+            solver(k), schema=out_schema).localCheckpoint(eager=True)
+        good = res.where("__ok").drop("__ok")
+        done = good if done is None else done.unionByName(good)
+        failed = res.where("NOT __ok").select(idx)
+        if failed.isEmpty():
+            todo = None
+            break
+        todo = seeds.join(failed, on=idx, how="left_semi") \
+            .localCheckpoint(eager=True)
+        # at k*bs >= env_diag the bound accepts unconditionally, so k never
+        # needs to exceed the envelope (offsets stay (2k+1)^2-bounded)
+        k = min(k * 2, int(np.ceil(env_diag / bs)) + 1)
+    if todo is not None and not todo.isEmpty():
+        raise RuntimeError("discretise_voronoi_blocked: unresolved seeds "
+                           f"after k={k // 2} doublings")
+    done = done.localCheckpoint(eager=True)
+    return done if keep_geometry else done.drop("geom_wkb")
+
+
 # ---------------------------------------------------------------------------
 # Seeded in-polygon sampling
 # ---------------------------------------------------------------------------

@@ -109,3 +109,44 @@ def test_randomise_voronoi_invariants(spark):
             (out.new_y >= 0) & (out.new_y <= 10)).all()
     # no sample reused twice: all replacement coords distinct
     assert len(out[["new_x", "new_y"]].drop_duplicates()) == 30
+
+
+def test_blocked_voronoi_matches_broadcast(spark):
+    """Scale path == broadcast path: the block-ring candidate bound is
+    exact (SURVEY 7.3.3 / VERDICT r01 #7)."""
+    import numpy as np
+    from hexscape_spark import geo
+    from hexscape_spark.voronoi import (discretise_voronoi,
+                                        discretise_voronoi_blocked)
+    rng = np.random.RandomState(9)
+    pts = rng.uniform(0, 20, size=(150, 2))
+    points = spark.createDataFrame(
+        [(i + 1, float(a), float(b)) for i, (a, b) in enumerate(pts)],
+        "Index LONG, x DOUBLE, y DOUBLE")
+    land = geo.rect_wkb(0, 0, 20, 20)
+    a = discretise_voronoi(spark, land, points, keep_geometry=False) \
+        .toPandas().sort_values("Index").reset_index(drop=True)
+    b = discretise_voronoi_blocked(spark, land, points, block_size=4.0,
+                                   keep_geometry=False) \
+        .toPandas().sort_values("Index").reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("Area", "centroid_x", "centroid_y"):
+        assert np.allclose(a[col].values, b[col].values, atol=1e-9), col
+    # partition invariant: cells tile the landscape exactly
+    assert b.Area.sum() == pytest.approx(400.0, abs=1e-6)
+
+
+def test_blocked_voronoi_sparse_seeds_need_doubling(spark):
+    """Two far-apart seeds force the k-doubling path (cells span many
+    blocks) and still resolve exactly."""
+    from hexscape_spark import geo
+    from hexscape_spark.voronoi import discretise_voronoi_blocked
+    points = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 99.0, 99.0)], "Index LONG, x DOUBLE, y DOUBLE")
+    land = geo.rect_wkb(0, 0, 100, 100)
+    out = discretise_voronoi_blocked(spark, land, points, block_size=2.0,
+                                     keep_geometry=False).toPandas()
+    assert len(out) == 2
+    assert out.Area.sum() == pytest.approx(100.0 * 100.0, abs=1e-6)
+    # symmetric seeds -> equal halves
+    assert out.Area.max() == pytest.approx(5000.0, abs=1e-6)
