@@ -748,9 +748,32 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: Arrow-batched feature extraction over binary
+    payloads.  The decode is the documented deterministic sha256 stub (no
+    imaging libs in this container), which makes the metadata columns
+    exactly oracle-able in DuckDB (sha256 + hex-byte arithmetic)."""
     from hexscape_spark.multimodal import extract_features, synth_media
     return extract_features(synth_media(spark, 200)).select(
         "media_id", "kind", "n_bytes", "width", "height")
+
+
+def _sql_media_features_duck(n: int = 200) -> str:
+    b = ("(instr('0123456789abcdef', substring(h, {p1}, 1)) - 1) * 16 + "
+         "instr('0123456789abcdef', substring(h, {p2}, 1)) - 1")
+    b0 = b.format(p1=1, p2=2)
+    b1 = b.format(p1=3, p2=4)
+    return f"""
+WITH m AS (SELECT CAST(range AS BIGINT) AS media_id FROM range(0, {n})),
+p AS (SELECT media_id,
+             'IMGDATA:' || CAST(media_id AS STRING) || ':' ||
+             md5(CAST(media_id AS STRING)) AS payload FROM m),
+s AS (SELECT media_id, payload, sha256(payload) AS h FROM p)
+SELECT media_id, 'image' AS kind,
+       CAST(length(payload) AS BIGINT) AS n_bytes,
+       CAST(16 + ({b0}) % 64 AS INT) AS width,
+       CAST(16 + ({b1}) % 64 AS INT) AS height
+FROM s
+"""
 
 
 _BFS_MAX_HOPS = 128
@@ -1103,4 +1126,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _sql_minhash_pairs_duck(),
         "simhash_docs": _sql_simhash_duck(),
         "streaming_cell_rollup": _sql_streaming_cell_rollup_duck(),
+        "media_features": _sql_media_features_duck(),
     }
