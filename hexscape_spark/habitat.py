@@ -205,11 +205,17 @@ def discretise_habitat(spark: SparkSession, habitat: DataFrame,
     dens = cells.mapInPandas(kde_clip, schema=cell_schema)
     dens = dens.persist()
 
-    # 5. threshold passes: ordered cumsum to hit total_size (W4, :207-249)
+    # 5. threshold passes: ordered cumsum to hit total_size (W4, :207-249).
+    # global_cumsum range-partitions on z, so the running sum never
+    # collapses to one partition at raster scale.
+    from .indexing import global_cumsum
+
     def pick_target_z(df: DataFrame) -> float:
-        w = Window.orderBy(F.desc("z")).rowsBetween(Window.unboundedPreceding, 0)
-        ranked = df.withColumn("cum_km2", F.sum(F.col("area") / 1e6).over(w)) \
-            .withColumn("delta", F.abs(F.col("cum_km2") - F.lit(total_size_km2)))
+        ranked = global_cumsum(df.withColumn("__km2", F.col("area") / 1e6),
+                               ["z"], "__km2", out="cum_km2",
+                               ascending=False)
+        ranked = ranked.withColumn(
+            "delta", F.abs(F.col("cum_km2") - F.lit(total_size_km2)))
         return ranked.orderBy("delta").limit(1).collect()[0]["z"]
 
     z1 = pick_target_z(dens)

@@ -56,3 +56,35 @@ def dense_index(df: DataFrame, order_cols: list[str], out: str = "Index",
     sdf.unpersist()
     df.unpersist()
     return out_df
+
+
+def global_cumsum(df: DataFrame, order_cols: list[str], value: str,
+                  out: str = "cumsum", ascending: bool = True) -> DataFrame:
+    """Globally-ordered running sum of `value` (W4) WITHOUT the
+    single-partition window a bare ``SUM OVER (ORDER BY ...)`` collapses
+    to: range-partition on the sort key, cumsum within partitions, shift
+    by the exclusive prefix-sum of per-partition totals (one long per
+    partition on the driver) — the dense_index pattern for sums."""
+    df = df.persist()                    # repartitionByRange samples input
+    cols = [F.col(c) if ascending else F.desc(c) for c in order_cols]
+    sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    sdf = sorted_df.withColumn("__pid", F.spark_partition_id()).persist()
+    totals = {row["__pid"]: row["t"] for row in
+              sdf.groupBy("__pid").agg(F.sum(value).alias("t")).collect()}
+    offsets = {}
+    acc = 0.0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0.0
+    offmap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]) \
+        if offsets else F.create_map()
+    Window = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    w = Window.partitionBy("__pid").orderBy(*cols) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    out_df = (sdf.withColumn("__c", F.sum(value).over(w))
+              .withColumn(out, offmap[F.col("__pid")] + F.col("__c"))
+              .drop("__pid", "__c")
+              .localCheckpoint(eager=True))
+    sdf.unpersist()
+    df.unpersist()
+    return out_df
