@@ -8,6 +8,8 @@ are the groupBys on hash/bucket keys, which is the theoretical minimum.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -136,22 +138,48 @@ def minhash_lsh_pairs_portable(df: DataFrame, key: str = "doc_id",
     oracle can recompute the exact pair set.  Band key is the concatenated
     signature slice itself (banding needs only equality, not another hash).
     """
+    import hashlib
+    import re
+
     from . import sqlgen
     rows = num_hashes // bands
-    sh = df.select(F.col(key), _shingles(F.col(text), shingle_k).alias("__sh"))
-    # ONE md5 fold per shingle; permutations are exact-int64 linear mixes
-    # of the base (sqlgen.mix_expr) — 16 md5s per shingle would dominate
-    # the whole pipeline (measured 8x wall-clock).
-    based = sh.selectExpr(
-        key, f"transform(__sh, s -> {sqlgen.md5_int_expr_spark('s')}) AS __b")
-    # Same exchange barrier as the xxhash64 path (bases computed once).
-    based = based.repartition(F.col(key))
-    mix = sqlgen.mix_params(num_hashes)
-    mins = [
-        (f"array_min(transform(__b, b -> "
-         f"{sqlgen.mix_expr('b', *mix[i], intdiv='DIV')})) AS m{i}")
-        for i in range(num_hashes)]
-    sig = based.selectExpr(key, *mins)
+    mix = np.array(sqlgen.mix_params(num_hashes), dtype=np.int64)
+    ma, mb, mc = mix[:, 0], mix[:, 1], mix[:, 2]
+    lo, p_mod, k_ = sqlgen.MIX_LO, sqlgen.MIX_P, shingle_k
+    # re.ASCII pins \s to the ASCII class RE2 (DuckDB) and Java use —
+    # Python's unicode-aware \s would split on NBSP etc. and break parity
+    splitter = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf("array<long>")
+    def signature(texts: pd.Series) -> pd.Series:
+        # Whole signature per Arrow batch: Python md5 (C-speed) + one
+        # numpy mix per doc.  The pure-SQL formulation of the same math
+        # spent ~3s/5k docs in interpreted HOF lambdas (shingle concat +
+        # per-element folds); this is the identical arithmetic — int64
+        # exact — so the DuckDB oracle still reproduces it bit-for-bit.
+        out = []
+        for t in texts:
+            words = splitter.split(t.lower())
+            if len(words) >= k_:
+                sh = [" ".join(words[i:i + k_])
+                      for i in range(len(words) - k_ + 1)]
+            else:
+                sh = [" ".join(words)]
+            base = np.fromiter(
+                (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                 for s in sh), dtype=np.int64, count=len(sh))
+            mixed = (ma[None, :] * (base[:, None] % lo)
+                     + mb[None, :] * (base[:, None] // lo)
+                     + mc[None, :]) % p_mod
+            out.append(mixed.min(axis=0).tolist())
+        return pd.Series(out)
+
+    sig = df.select(F.col(key), signature(F.col(text)).alias("__m"))
+    sig = sig.select(
+        key, *[F.element_at("__m", i + 1).alias(f"m{i}")
+               for i in range(num_hashes)])
+    # exchange barrier: signatures computed once, not per band column
+    sig = sig.repartition(F.col(key))
     band_cols = [
         F.concat_ws(",", *[F.col(f"m{b * rows + j}").cast("string")
                            for j in range(rows)]).alias(f"b{b}")
