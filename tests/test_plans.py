@@ -83,3 +83,49 @@ def test_whole_stage_codegen_covers_hex_math(spark):
     plan = _plan(df)
     # the `*(N)` operator prefix marks whole-stage-codegen spans
     assert plan.lstrip().startswith("*("), plan[:200]
+
+
+def test_landcover_regrouped_prunes_part_scan(spark):
+    """The regroup rollup reads only p_partkey + p_retailprice."""
+    df = m.queries()["landcover_regrouped"](spark, SF)
+    plan = _plan(df)
+    lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    txt = "\n".join(lines) or plan
+    assert "p_partkey" in txt and "p_retailprice" in txt
+    assert "p_name" not in txt and "p_type" not in txt, txt
+
+
+def test_bfs_edges_join_is_equi(spark):
+    """BFS frontier expansion must be a hash/sort-merge equi-join on the
+    shifted cell key — never a nested loop."""
+    df = m.queries()["bfs_hops"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Inner, true", ""), plan
+    # the offsets cross-join is the only allowed nested loop (6-row dim)
+    assert "CartesianProduct" not in plan
+
+
+def test_pip_join_refine_ships_geometry_via_join(spark):
+    """pip_join's refine stage joins polygon WKB (broadcast for a small
+    layer) and evaluates the PIP in an Arrow-batched UDF — no collect."""
+    from hexscape_spark import geo
+    from hexscape_spark.cover import pip_join, polygon_cell_cover
+    from hexscape_spark.synth import geocoded_pages
+    pts = geocoded_pages(spark, 100).select("page_id", "lon", "lat",
+                                            "q", "r", "cell_id")
+    polys = spark.createDataFrame(
+        [(1, bytearray(geo.rect_wkb(8000, 8000, 17000, 12000)))],
+        "poly_id LONG, geom_wkb BINARY")
+    cover = polygon_cell_cover(polys)
+    plan = _plan(pip_join(pts, cover, polys))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_lsh_sketch_is_arrow_batched(spark):
+    """The hyperplane sketch runs as ONE vectorized Arrow eval, not
+    per-plane expression chains."""
+    df = m.queries()["lsh_topk"](spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan or "Arrow" in plan, plan
