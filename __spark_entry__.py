@@ -1070,12 +1070,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash_docs,
         "streaming_cell_rollup": _q_streaming_cell_rollup,
+        "media_features": _q_media_features,
         # geometry kernel (pytest-verified; rows-only check here)
         "patches_landuse": _q_patches_landuse,
         "neighbours_square": _q_neighbours_square,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
-        "media_features": _q_media_features,
         "cover_landuse": _q_cover_landuse,
         "connectedness": _q_connectedness,
         "habitat_patches": _q_habitat_patches,

@@ -53,6 +53,16 @@ def test_query_matches_oracle(spark, name):
             assert (got[c].values == exp[c].values).all(), f"{name}.{c} mismatch"
 
 
+def test_contract_size_and_ordering():
+    """The driver records correctness rows for AT MOST 50 queries() entries
+    in insertion order (CORRECTNESS_r01 truncated 52 -> 50), so the dict
+    must hold <= 50 entries with every oracle-gated query first."""
+    names = list(QUERIES)
+    assert len(names) <= 50, len(names)
+    gated = [n for n in names if n in ORACLES]
+    assert names[:len(gated)] == gated, "oracle-gated queries must lead"
+
+
 def test_all_queries_run(spark):
     """Queries without an oracle must still execute and return rows."""
     for name, fn in QUERIES.items():
