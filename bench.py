@@ -87,8 +87,11 @@ def main() -> None:
     spark = get_spark(app="hexscape-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
     queries = entrymod.queries()
-    # untimed warmup: JVM/codegen + parquet footers
+    # untimed warmup: JVM/codegen + parquet footers + Python/Arrow workers
+    # (otherwise the first pandas-UDF query pays worker spawn alone)
     queries["hex_cell_counts"](spark, SF_DIR).count()
+    spark.range(64, numPartitions=8).mapInPandas(
+        lambda it: it, schema="id LONG").count()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     t_all = time.time()

@@ -94,9 +94,23 @@ def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
                     out_r.append(int(rg[j]))
                     out_full.append(True)
                     out_area.append(hexarea)
-                for j in np.nonzero(~clear)[0]:
+                boundary = np.nonzero(~clear)[0]
+                if len(boundary) == 0:
+                    return
+                # pre-clip a complex polygon to the block window (every
+                # boundary hex lies inside it), so each per-cell clip
+                # touches only the LOCAL coastline — clip cost per cell is
+                # then O(nearby boundary), not O(total polygon vertices).
+                # Simple polygons skip it (pre-clip would cost more).
+                if sum(len(r_) for poly in polys_np for r_ in poly) > 256:
+                    win = geo.rect_ring(bx0 - w, by0 - h, bx1 + w, by1 + h)
+                    pieces = [c for poly in polys_np
+                              for c in geo.clip_polygon_components(poly, win)]
+                else:
+                    pieces = polys_np
+                for j in boundary:
                     hexring = _hex_ring(float(ccx[j]), float(ccy[j]), w)
-                    a = geo.area_polygons_in_convex(polys_np, hexring)
+                    a = geo.area_polygons_in_convex(pieces, hexring)
                     if a <= 0.0:
                         continue
                     full = a >= hexarea * (1.0 - 1e-12)
@@ -130,21 +144,32 @@ def polygon_cell_cover(polys: DataFrame, hex_width: float = P.HEX_WIDTH,
                 tan30 = np.tan(np.pi / 6.0)
                 q_lo = int(np.floor((x0 + (y0 - refy) * tan30 - refx) / w)) - 1
                 q_hi = int(np.ceil((x1 + (y1 - refy) * tan30 - refx) / w)) + 1
-                qs = np.arange(q_lo, q_hi + 1)
-                rows_per_block = max(1, block_cells // max(1, len(qs)))
-                for rb in range(r_lo, r_hi + 1, rows_per_block):
-                    rs = np.arange(rb, min(rb + rows_per_block, r_hi + 1))
-                    rg, qg = np.meshgrid(rs, qs, indexing="ij")
-                    rg = rg.ravel()
-                    qg = qg.ravel()
-                    ccx = refx + rg * (w / 2.0) + qg * w
-                    ccy = refy - rg * step
-                    inbb = (ccx >= x0 - w / 2) & (ccx <= x1 + w / 2) & \
-                           (ccy >= y0 - h / 2) & (ccy <= y1 + h / 2)
-                    if not inbb.any():
-                        continue
-                    emit(int(row[poly_id]), qg[inbb], rg[inbb],
-                         ccx[inbb], ccy[inbb], polys_np, segs, ring_segs)
+                n_edges = sum(len(r_) for r_ in all_rings)
+                # complex polygons block into SQUARE tiles so the per-tile
+                # window (and hence the pre-clipped local coastline and the
+                # prefiltered segment sets) stays genuinely local; simple
+                # polygons keep cheap full-width row strips
+                if n_edges > 256:
+                    q_step = r_step = 64
+                else:
+                    q_step = q_hi - q_lo + 1
+                    r_step = max(1, block_cells // max(1, q_step))
+                for qb in range(q_lo, q_hi + 1, q_step):
+                    qs = np.arange(qb, min(qb + q_step, q_hi + 1))
+                    for rb in range(r_lo, r_hi + 1, r_step):
+                        rs = np.arange(rb, min(rb + r_step, r_hi + 1))
+                        rg, qg = np.meshgrid(rs, qs, indexing="ij")
+                        rg = rg.ravel()
+                        qg = qg.ravel()
+                        ccx = refx + rg * (w / 2.0) + qg * w
+                        ccy = refy - rg * step
+                        inbb = (ccx >= x0 - w / 2) & (ccx <= x1 + w / 2) & \
+                               (ccy >= y0 - h / 2) & (ccy <= y1 + h / 2)
+                        if not inbb.any():
+                            continue
+                        emit(int(row[poly_id]), qg[inbb], rg[inbb],
+                             ccx[inbb], ccy[inbb], polys_np, segs,
+                             ring_segs)
             res = pd.DataFrame({
                 poly_id: pd.Series(out_pid, dtype="int64"),
                 "q": pd.Series(out_q, dtype="int64"),

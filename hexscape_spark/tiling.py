@@ -137,6 +137,24 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
             cx, cy = cx[keep], cy[keep]
             n = len(pdf)
             rows: list[tuple] = []
+            # pre-clip complex layers to this batch's window: each per-cell
+            # clip below then touches only the LOCAL boundary — cost per
+            # boundary cell is O(nearby coastline), not O(layer vertices).
+            # Skipped for simple layers, where the pre-clip costs more than
+            # it saves.
+            pad = max(w_, P.hex_height(w_))
+            win = geo.rect_ring(cx.min() - pad, cy.min() - pad,
+                                cx.max() + pad, cy.max() + pad)
+
+            def localise(polys):
+                if sum(len(r) for poly in polys for r in poly) <= 256:
+                    return polys
+                return [c for poly in polys
+                        for c in geo.clip_polygon_components(poly, win)]
+
+            ls_local = localise(ls)
+            imps_local = [localise(ip) for ip in imps]
+            cats_local = [localise(cp) for cp in cats]
             qv = pdf["q"].to_numpy()
             rv = pdf["r"].to_numpy()
             cv = pdf["cell_id"].to_numpy()
@@ -176,7 +194,7 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                 # patches get their own rows (st_cast POLYGON semantics,
                 # R/generate_patches.R:160,182)
                 comps: list[list[np.ndarray]] = []
-                for poly in ls:
+                for poly in ls_local:
                     comps.extend(geo.clip_polygon_components(poly, hexring))
                 if not comps:
                     continue
@@ -200,7 +218,7 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                 # to the landscape components (exact boolean area), so an
                 # Impassable layer crossing the landscape boundary never
                 # overcounts (R/generate_patches.R:148-166)
-                for ip in imps:
+                for ip in imps_local:
                     for ipc in (geo.clip_polygon_components(p, hexring)
                                 for p in ip):
                         for piece in ipc:
@@ -217,7 +235,7 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
                 # category is clipped to the hex, then boolean-intersected
                 # with each component (st_intersection(patch, category)
                 # semantics, R/generate_patches.R:252-266)
-                for k, cp in enumerate(cats):
+                for k, cp in enumerate(cats_local):
                     if single_full:
                         infos[0][5][k] = geo.area_polygons_in_convex(
                             cp, hexring)
