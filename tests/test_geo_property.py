@@ -1,0 +1,87 @@
+"""Property-based cross-validation of the geometry kernel.
+
+The engine has TWO independent area implementations: the
+Sutherland–Hodgman convex clipper (+ half-plane component stitcher) and
+the strip-sweep boolean-area kernel.  They share no code path, so
+agreement over random inputs is strong evidence for both (the reference's
+testthat strategy of validating against an independent oracle, SURVEY §5).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from hexscape_spark import geo
+
+
+def _rand_poly(seed: int, n: int, concave: bool) -> np.ndarray:
+    """Simple (non-self-intersecting) polygon: radial star around origin."""
+    rng = np.random.RandomState(seed)
+    t = np.sort(rng.uniform(0, 2 * np.pi, n))
+    if len(np.unique(np.round(t, 9))) < n:
+        t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    r = rng.uniform(2.0, 10.0 if concave else 4.0, n)
+    return np.c_[r * np.cos(t), r * np.sin(t)]
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(4, 24),
+       concave=st.booleans(),
+       cx=st.floats(-6, 6), cy=st.floats(-6, 6),
+       half=st.floats(0.5, 8.0))
+def test_convex_clip_area_equals_strip_sweep(seed, n, concave, cx, cy, half):
+    poly = [_rand_poly(seed, n, concave)]
+    window = geo.rect_ring(cx - half, cy - half, cx + half, cy + half)
+    a_clip = geo.area_polygons_in_convex([poly], window)
+    a_sweep = geo.intersection_area([poly], [[window]])
+    assert a_clip == pytest.approx(a_sweep, abs=1e-8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(4, 20),
+       cx=st.floats(-5, 5), cy=st.floats(-5, 5),
+       half=st.floats(0.5, 7.0))
+def test_component_areas_sum_to_clip_area(seed, n, cx, cy, half):
+    """clip_polygon_components (half-plane stitcher) must conserve area
+    against the Sutherland–Hodgman total, for arbitrary star polygons."""
+    poly = [_rand_poly(seed, n, True)]
+    window = geo.rect_ring(cx - half, cy - half, cx + half, cy + half)
+    comps = geo.clip_polygon_components(poly, window)
+    total = sum(geo.polygon_area(c) for c in comps)
+    want = geo.area_polygons_in_convex([poly], window)
+    assert total == pytest.approx(want, abs=1e-8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), m=st.integers(1, 5))
+def test_union_area_bounds(seed, m):
+    """max(area_i) <= union <= sum(area_i); equality cases at m == 1."""
+    rng = np.random.RandomState(seed)
+    polys = []
+    for i in range(m):
+        ring = _rand_poly(seed * 7 + i, int(rng.randint(4, 12)), True)
+        off = rng.uniform(-8, 8, 2)
+        polys.append([ring + off])
+    areas = [geo.polygons_area([p]) for p in polys]
+    u = geo.union_area(polys)
+    assert u <= sum(areas) + 1e-8
+    assert u >= max(areas) - 1e-8
+    if m == 1:
+        assert u == pytest.approx(areas[0], abs=1e-8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(4, 16))
+def test_interior_point_is_inside(seed, n):
+    poly = [_rand_poly(seed, n, True)]
+    ix, iy = geo.interior_point(poly)
+    assert geo.points_in_polygons(np.array([ix]), np.array([iy]), [poly])[0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(6, 30),
+       keep=st.floats(0.3, 0.9))
+def test_simplify_never_gains_vertices(seed, n, keep):
+    ring = _rand_poly(seed, n, True)
+    simp = geo.simplify_polygons_keep([[ring]], keep)
+    assert 3 <= len(simp[0][0]) <= len(ring)
