@@ -566,9 +566,23 @@ GROUP BY content_hash HAVING COUNT(*) > 1
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
-    from hexscape_spark.textops import with_quality_score
-    d = with_quality_score(spark.table("documents"))
-    return d.select("doc_id", "n_tokens", "n_chars_q", "avg_token_len", "quality")
+    from hexscape_spark.textops import (with_bpe_token_count,
+                                        with_quality_score)
+    d = with_bpe_token_count(with_quality_score(spark.table("documents")))
+    return d.select("doc_id", "n_tokens", "n_bpe_tokens", "n_chars_q",
+                    "avg_token_len", "quality")
+
+
+def _sql_token_stats_duck() -> str:
+    from hexscape_spark.textops import BPE_TOKEN_PATTERN
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return _SQL_TOKEN_STATS.replace(
+        "SELECT doc_id, n_tokens, n_chars_q,",
+        "SELECT doc_id, n_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        "AS n_bpe_tokens, n_chars_q,").replace(
+        "  SELECT doc_id,",
+        "  SELECT doc_id, text,")
 
 
 _SQL_TOKEN_STATS = """
@@ -971,18 +985,21 @@ def _q_habitat_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_voronoi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """discretise_voronoi on seeded points (rows-only; containment and
-    partition invariants pytest-verified)."""
+    """discretise_voronoi_blocked on seeded points — the distributed scale
+    path (block k-ring candidates, no driver seed funnel); parity with the
+    broadcast path and partition invariants are pytest-verified
+    (rows-only here)."""
     import numpy as np
     from hexscape_spark import geo
-    from hexscape_spark.voronoi import discretise_voronoi
+    from hexscape_spark.voronoi import discretise_voronoi_blocked
     rng = np.random.RandomState(42)
     pts = rng.uniform(0, 10, size=(100, 2))
     points = spark.createDataFrame(
         [(i + 1, float(x), float(y)) for i, (x, y) in enumerate(pts)],
         "Index LONG, x DOUBLE, y DOUBLE")
     land = geo.rect_wkb(0, 0, 10, 10)
-    return discretise_voronoi(spark, land, points, keep_geometry=False) \
+    return discretise_voronoi_blocked(spark, land, points, block_size=2.0,
+                                      keep_geometry=False) \
         .select("Index", F.round("Area", 9).alias("area_r"),
                 F.round("centroid_x", 9).alias("cx_r"),
                 F.round("centroid_y", 9).alias("cy_r"))
@@ -1119,7 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_gaps": _SQL_EVENT_GAPS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "lang_guess_dist": _sql_lang_guess_dist(),
-        "token_stats": _SQL_TOKEN_STATS,
+        "token_stats": _sql_token_stats_duck(),
         "lang_dist_by_source": _SQL_LANG_DIST,
         "knn_cosine": _SQL_KNN,
         "label_stats": _SQL_LABEL_STATS,

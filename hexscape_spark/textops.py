@@ -28,6 +28,23 @@ def with_token_count(df: DataFrame, text: str = "text",
     return df.withColumn(out, n.cast("long"))
 
 
+# GPT-2-style pretokenizer WITHOUT lookahead (RE2-compatible, so the
+# DuckDB oracle evaluates the identical pattern): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_TOKEN_PATTERN = (
+    "'(?:[sdmt]|ll|ve|re)"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9']+|\\s+")
+
+
+def with_bpe_token_count(df: DataFrame, text: str = "text",
+                         out: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish subword-boundary token count: the number of pretokenizer
+    matches (the unit BPE merges start from).  Pure JVM regex — one
+    regexp_extract_all + size per row."""
+    return df.withColumn(out, F.size(F.regexp_extract_all(
+        F.col(text), F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("long"))
+
+
 def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     """Length/word-length quality heuristics; columns n_chars_q, n_tokens,
     avg_token_len, quality."""
