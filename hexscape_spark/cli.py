@@ -11,6 +11,9 @@ Jobs:
     cell_rollup     pages -> geocode -> hex assign -> per-cell rollup
     patches         tile a rectangular landscape + land-use rollup
     neighbours      adjacency edges for the tiled landscape
+    dedup           MinHash+LSH near-duplicate candidate pairs
+    landcover       extract_landcover over a (poly_id, clc, geom_wkb)
+                    parquet, optional --regroup level
     scaling         the two-parallelism scaling job (see BENCH/scaling.py)
 
 Every stage checkpoints through hexscape_spark.checkpoint (per-partition
@@ -91,19 +94,54 @@ def job_neighbours(spark, args) -> None:
                       "edges": spark.read.parquet(args.out).count()}))
 
 
+def job_dedup(spark, args) -> None:
+    """Near-duplicate candidate pairs over a documents/pages parquet
+    (MinHash+LSH banding with the bucket cap)."""
+    from .dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(args.pages)
+    key = "doc_id" if "doc_id" in docs.columns else "page_id"
+    pairs = minhash_lsh_pairs(docs, key=key, num_hashes=args.num_hashes,
+                              bands=args.bands)
+    pairs.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"job": "dedup",
+                      "pairs": spark.read.parquet(args.out).count()}))
+
+
+def job_landcover(spark, args) -> None:
+    """extract_landcover over a land-cover parquet
+    (poly_id, clc, geom_wkb) against a square mask, optional regroup."""
+    from . import geo
+    from .pipeline import extract_landcover
+
+    lc = spark.read.parquet(args.pages)
+    res = extract_landcover(
+        spark, lc, geo.rect_wkb(0.0, 0.0, args.size, args.size),
+        regroup=args.regroup, hex_width=args.hex_width,
+        checkpoint_root=args.checkpoint_root, resume=args.resume)
+    res["cells"].write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"job": "landcover",
+                      "cells": spark.read.parquet(args.out).count()}))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="hexscape_spark.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("package")
     runp = sub.add_parser("run")
     runp.add_argument("--job", required=True,
-                      choices=["cell_rollup", "patches", "neighbours"])
+                      choices=["cell_rollup", "patches", "neighbours",
+                               "dedup", "landcover"])
     runp.add_argument("--pages")
     runp.add_argument("--out", required=True)
     runp.add_argument("--checkpoint-root")
     runp.add_argument("--resume", action="store_true")
     runp.add_argument("--hex-width", type=float, default=2.0)
     runp.add_argument("--size", type=float, default=50.0)
+    runp.add_argument("--num-hashes", type=int, default=32)
+    runp.add_argument("--bands", type=int, default=8)
+    runp.add_argument("--regroup", type=int, default=None,
+                      help="CLC regroup level 1-3 (landcover job)")
     args = ap.parse_args(argv)
 
     if args.cmd == "package":
@@ -115,7 +153,9 @@ def main(argv: list[str] | None = None) -> None:
     try:
         {"cell_rollup": job_cell_rollup,
          "patches": job_patches,
-         "neighbours": job_neighbours}[args.job](spark, args)
+         "neighbours": job_neighbours,
+         "dedup": job_dedup,
+         "landcover": job_landcover}[args.job](spark, args)
     finally:
         spark.stop()
 
