@@ -217,10 +217,6 @@ def _sql_region_nation_counts() -> str:
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name")
 
 
-def _sql_distinct_cust_nations() -> str:
-    return ("SELECT DISTINCT c_nationkey FROM customer")
-
-
 def _sql_supplier_nation_rollup() -> str:
     return (
         "SELECT n_name, COUNT(*) AS n_suppliers, "
@@ -362,25 +358,6 @@ SELECT o_custkey, o_orderkey,
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
 FROM orders
-"""
-
-
-def _q_lag_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-    _views(spark, sf_dir)
-    li = spark.table("lineitem")
-    w = Window.partitionBy("l_partkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber")
-    return li.select(
-        "l_partkey", "l_orderkey", "l_linenumber",
-        F.lag(F.expr(_CENTS.format(c="l_quantity")), 1, 0).over(w).alias("prev_qty_cents"))
-
-
-_SQL_LAG = f"""
-SELECT l_partkey, l_orderkey, l_linenumber,
-       LAG({_CENTS.format(c='l_quantity')}, 1, 0) OVER (
-         PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty_cents
-FROM lineitem
 """
 
 
@@ -746,11 +723,12 @@ FROM bnd x JOIN bnd y ON x.bb = y.bb AND x.bk = y.bk AND x.doc_id < y.doc_id
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH ANN (rows-only; recall pytest-verified):
+    planes=10 -> 1024 buckets/table keeps candidates sparse; 4
+    OR-construction tables restore the recall a single selective table
+    would lose."""
     _views(spark, sf_dir)
     from hexscape_spark.similarity import cosine_topk_lsh
-    # planes=10 -> 1024 buckets/table keeps candidate pairs sparse on the
-    # clustered corpus; 4 OR-construction tables restore the recall a
-    # single selective table would lose
     return cosine_topk_lsh(spark.table("embeddings"), planes=10, tables=4)
 
 
@@ -759,6 +737,73 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     from hexscape_spark.similarity import cosine_topk_ivf
     return cosine_topk_ivf(spark.table("embeddings"), n_lists=8, nprobe=2)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups over portable-LSH candidates —
+    oracle-gated end to end (banding + verify both reproduced in SQL)."""
+    _views(spark, sf_dir)
+    from hexscape_spark.dedup import ngram_jaccard_pairs_portable
+    return ngram_jaccard_pairs_portable(spark.table("documents"),
+                                        threshold=0.5)
+
+
+def _sql_ngram_jaccard_duck(threshold: float = 0.5, num_hashes: int = 16,
+                            bands: int = 4, k: int = 3) -> str:
+    base = sqlgen.md5_int_expr("s")
+    mix = sqlgen.mix_params(num_hashes)
+    perm_rows = ", ".join(f"({i}, {a}, {b}, {c})"
+                          for i, (a, b, c) in enumerate(mix))
+    h = sqlgen.mix_expr("base", "pa", "pb", "pc", intdiv="//")
+    rows = num_hashes // bands
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(w) >= {k}
+        THEN [array_to_string(w[i:i+{k - 1}], ' ') FOR i IN range(1, len(w) - {k - 2})]
+        ELSE [array_to_string(w, ' ')] END AS shingles FROM w),
+ex AS (SELECT doc_id, {base} AS base FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
+hs AS (SELECT doc_id, p, MIN({h}) AS m
+       FROM ex CROSS JOIN (SELECT * FROM (VALUES {perm_rows}) AS v(p, pa, pb, pc)) AS ps
+       GROUP BY doc_id, p),
+sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM hs GROUP BY doc_id),
+bnd AS (SELECT doc_id, bb, array_to_string(sig[bb*{rows}+1 : bb*{rows}+{rows}], ',') AS bk
+        FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS bb) AS bs),
+pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bnd x JOIN bnd y ON x.bb = y.bb AND x.bk = y.bk AND x.doc_id < y.doc_id),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
+SELECT a, b, jaccard FROM (
+  SELECT a, b,
+         ROUND(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+               len(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard
+  FROM pairs JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b) t
+WHERE jaccard >= {sqlgen._f(threshold)}
+"""
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact verify kernel; the LSH
+    candidate path is ann_topk/pytest-covered)."""
+    _views(spark, sf_dir)
+    from hexscape_spark.dedup import embedding_near_dup_pairs
+    # cast to DOUBLE up front so Spark's fold matches DuckDB's
+    # DOUBLE[] dot bit-for-bit (float-precision folds would not)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+        .alias("embedding"))
+    return embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+_SQL_EMBEDDING_NEAR_DUPS = """
+WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id,
+             [x / sqrt(list_dot_product(e, e)) FOR x IN e] AS un FROM u)
+SELECT a, b, cosine FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(list_dot_product(x.un, y.un), 6) AS cosine
+  FROM n x JOIN n y ON x.vec_id < y.vec_id) t
+WHERE cosine >= 0.45E0
+"""
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,7 +901,8 @@ GROUP BY 1, 2
 
 def _q_cover_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 scale path: polygon-side cell cover + equi-join rollup."""
-    from hexscape_spark.cover import landuse_rollup_from_cover, polygon_cell_cover
+    from hexscape_spark.cover import (landuse_rollup_from_cover,
+                                      polygon_cell_cover)
     from hexscape_spark.synth import land_use_square
     layers = [(i, cat, wkb) for i, (cat, kind, wkb) in
               enumerate(land_use_square(1.0)) if kind != "Impassable"]
@@ -1062,7 +1108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_order_per_cust": _q_top_order_per_cust,
         "cust_order_share": _q_cust_order_share,
         "cumsum_orders": _q_cumsum_orders,
-        "lag_lineitem": _q_lag_lineitem,
         "pivot_status": _q_pivot_status,
         "revenue_by_nation": _q_revenue_by_nation,
         "customers_without_orders": _q_customers_without_orders,
@@ -1070,7 +1115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hour_rollup": _sqlq(_sql_events_hour_rollup_spark),
         "orders_priority_share": _sqlq(_sql_orders_priority_share),
         "region_nation_counts": _sqlq(_sql_region_nation_counts),
-        "distinct_cust_nations": _sqlq(_sql_distinct_cust_nations),
         "supplier_nation_rollup": _sqlq(_sql_supplier_nation_rollup),
         "fingerprint_docs": _sqlq(_sql_fingerprint_docs),
         "semi_join_orders": _q_semi_join_orders,
@@ -1086,14 +1130,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_stats": _q_label_stats,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash_docs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_near_dups": _q_embedding_near_dups,
         "streaming_cell_rollup": _q_streaming_cell_rollup,
         "media_features": _q_media_features,
         # geometry kernel (pytest-verified; rows-only check here)
         "patches_landuse": _q_patches_landuse,
+        "cover_landuse": _q_cover_landuse,
         "neighbours_square": _q_neighbours_square,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
-        "cover_landuse": _q_cover_landuse,
         "connectedness": _q_connectedness,
         "habitat_patches": _q_habitat_patches,
         "voronoi_cells": _q_voronoi_cells,
@@ -1118,7 +1164,6 @@ def oracle_sql() -> dict[str, str]:
         "events_hour_rollup": _sql_events_hour_rollup_duck(),
         "orders_priority_share": _sql_orders_priority_share(),
         "region_nation_counts": _sql_region_nation_counts(),
-        "distinct_cust_nations": _sql_distinct_cust_nations(),
         "supplier_nation_rollup": _sql_supplier_nation_rollup(),
         "fingerprint_docs": _sql_fingerprint_docs(),
         "semi_join_orders": _SQL_SEMI_JOIN,
@@ -1129,7 +1174,6 @@ def oracle_sql() -> dict[str, str]:
         "top_order_per_cust": _SQL_TOP_ORDER,
         "cust_order_share": _SQL_CUST_SHARE,
         "cumsum_orders": _SQL_CUMSUM,
-        "lag_lineitem": _SQL_LAG,
         "pivot_status": _SQL_PIVOT,
         "revenue_by_nation": _SQL_REVENUE_NATION,
         "customers_without_orders": _SQL_NO_ORDERS,
@@ -1142,6 +1186,8 @@ def oracle_sql() -> dict[str, str]:
         "label_stats": _SQL_LABEL_STATS,
         "minhash_pairs": _sql_minhash_pairs_duck(),
         "simhash_docs": _sql_simhash_duck(),
+        "ngram_jaccard": _sql_ngram_jaccard_duck(),
+        "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
         "streaming_cell_rollup": _sql_streaming_cell_rollup_duck(),
         "media_features": _sql_media_features_duck(),
     }

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "lang_guess_dist",
     "knn_cosine",
     "minhash_pairs",
+    "ngram_jaccard",
     "lsh_topk",
     "patches_landuse",
     "neighbours_square",

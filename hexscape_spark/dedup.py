@@ -235,6 +235,48 @@ def with_simhash_portable(df: DataFrame, key: str = "doc_id",
     return g.selectExpr(key, f"CAST({sim} AS BIGINT) AS {out}")
 
 
+def ngram_jaccard_pairs_portable(df: DataFrame, key: str = "doc_id",
+                                 text: str = "text", shingle_k: int = 3,
+                                 threshold: float = 0.5,
+                                 num_hashes: int = 16,
+                                 bands: int = 4) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-prefiltered candidates, built from the
+    PORTABLE minhash path so the whole pipeline (banding + exact verify)
+    is reproducible in the DuckDB oracle.  Returns (a, b, jaccard) with
+    jaccard rounded to 6 dp and >= threshold."""
+    cands = minhash_lsh_pairs_portable(df, key, text, num_hashes, bands,
+                                       shingle_k)
+    sh = df.select(F.col(key),
+                   F.array_distinct(_shingles(F.col(text), shingle_k))
+                   .alias("ss"))
+    j = (cands.join(sh.selectExpr(f"{key} AS a", "ss AS sa"), on="a")
+         .join(sh.selectExpr(f"{key} AS b", "ss AS sb"), on="b"))
+    jac = F.round(F.size(F.array_intersect("sa", "sb"))
+                  / F.size(F.array_union("sa", "sb")), 6)
+    return (j.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, key: str = "vec_id",
+                             vec: str = "embedding",
+                             threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT: all pairs with
+    cosine >= threshold (rounded to 6 dp).  This is the verify kernel; at
+    corpus scale generate candidates first (similarity.cosine_topk_lsh's
+    multi-table buckets) and run this predicate on candidates only — the
+    exact form doubles as the driver-oracle query on the test corpus."""
+    from .similarity import _dot, with_unit_norm
+    u = with_unit_norm(df, vec).select(F.col(key), F.col("unit_vec"))
+    a = u.selectExpr(f"{key} AS a", "unit_vec AS ua")
+    b = u.selectExpr(f"{key} AS b", "unit_vec AS ub")
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = F.round(_dot(F.col("ua"), F.col("ub")), 6)
+    return (pairs.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
                         shingle_k: int = 3, threshold: float = 0.8,
                         num_hashes: int = 32, bands: int = 8) -> DataFrame:

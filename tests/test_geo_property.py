@@ -15,11 +15,13 @@ from hexscape_spark import geo
 
 
 def _rand_poly(seed: int, n: int, concave: bool) -> np.ndarray:
-    """Simple (non-self-intersecting) polygon: radial star around origin."""
+    """Simple (non-self-intersecting) polygon: radial star around the
+    origin.  Angles are a jittered FULL-circle partition (pure sorted
+    random angles can span < 2π, making the closure edge cut across the
+    star — hypothesis found exactly that degenerate case)."""
     rng = np.random.RandomState(seed)
-    t = np.sort(rng.uniform(0, 2 * np.pi, n))
-    if len(np.unique(np.round(t, 9))) < n:
-        t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    t = t + rng.uniform(0.05, 0.95, n) * (2 * np.pi / n)
     r = rng.uniform(2.0, 10.0 if concave else 4.0, n)
     return np.c_[r * np.cos(t), r * np.sin(t)]
 
