@@ -782,7 +782,7 @@ WHERE jaccard >= {sqlgen._f(threshold)}
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact verify kernel; the LSH
-    candidate path is ann_topk/pytest-covered)."""
+    candidate path is lsh_topk/pytest-covered)."""
     _views(spark, sf_dir)
     from hexscape_spark.dedup import embedding_near_dup_pairs
     # cast to DOUBLE up front so Spark's fold matches DuckDB's
