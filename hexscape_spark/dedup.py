@@ -246,9 +246,14 @@ def ngram_jaccard_pairs_portable(df: DataFrame, key: str = "doc_id",
     jaccard rounded to 6 dp and >= threshold."""
     cands = minhash_lsh_pairs_portable(df, key, text, num_hashes, bands,
                                        shingle_k)
-    sh = df.select(F.col(key),
-                   F.array_distinct(_shingles(F.col(text), shingle_k))
-                   .alias("ss"))
+    # R3: the expensive exact shingle sets are built ONLY for docs that
+    # appear in a candidate pair (semi-join prefilter), not the corpus
+    ids = (cands.select(F.col("a").alias(key))
+           .unionByName(cands.select(F.col("b").alias(key))).distinct())
+    sh = (df.join(ids, on=key, how="left_semi")
+          .select(F.col(key),
+                  F.array_distinct(_shingles(F.col(text), shingle_k))
+                  .alias("ss")))
     j = (cands.join(sh.selectExpr(f"{key} AS a", "ss AS sa"), on="a")
          .join(sh.selectExpr(f"{key} AS b", "ss AS sb"), on="b"))
     jac = F.round(F.size(F.array_intersect("sa", "sb"))
