@@ -1051,14 +1051,99 @@ def _q_voronoi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("centroid_y", 9).alias("cy_r"))
 
 
+_DISSOLVE_N = 160
+
+
+def _dissolve_rects_sql(id_src: str) -> str:
+    """Shared deterministic rect generator (pure BIGINT LCG arithmetic, so
+    Spark and DuckDB produce the identical rect set): _DISSOLVE_N
+    axis-aligned integer rectangles over a 0..52 window, 5 keys, heavy
+    overlap/touch so the union/components are non-trivial."""
+    q = f"(SELECT i FROM ({id_src}) AS s0)"
+    q = f"(SELECT i, (i * 48271 + 11) % 2147483647 AS u1 FROM {q} AS s1)"
+    q = f"(SELECT i, u1, (u1 * 48271 + 11) % 2147483647 AS u2 FROM {q} AS s2)"
+    q = f"(SELECT i, u1, u2, (u2 * 48271 + 11) % 2147483647 AS u3 FROM {q} AS s3)"
+    q = f"(SELECT i, u1, u2, u3, (u3 * 48271 + 11) % 2147483647 AS u4 FROM {q} AS s4)"
+    return ("SELECT 'C' || CAST(i % 5 AS STRING) AS clc, "
+            "u1 % 40 AS x0, u2 % 40 AS y0, "
+            "u1 % 40 + 2 + u3 % 10 AS x1, "
+            f"u2 % 40 + 2 + u4 % 10 AS y1 FROM {q} AS s5")
+
+
 def _q_dissolve_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 dissolve: union land-use layers per category (rows-only)."""
+    """A2 two-level dissolve (true-union boundary trace): exact union area
+    + connected-part count per key over 160 overlapping integer rects —
+    ORACLE-GATED: integer coordinates make the DuckDB rect-sweep
+    (coordinate compression over distinct x-edges) and the recursive
+    touch-components labelling reproduce area/n_parts bit-for-bit."""
+    import pandas as pd
+
+    from hexscape_spark import geo
     from hexscape_spark.dissolve import dissolve
-    from hexscape_spark.synth import land_use_square
-    rows = [(c, bytearray(w)) for c, k, w in land_use_square(1.0)]
-    df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
+    rects = spark.sql(_dissolve_rects_sql(
+        f"SELECT id AS i FROM range(0, {_DISSOLVE_N})"))
+
+    def to_wkb(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "clc": pdf["clc"],
+                "geom_wkb": [geo.rect_wkb(float(a), float(b),
+                                          float(c), float(d))
+                             for a, b, c, d in zip(pdf["x0"], pdf["y0"],
+                                                   pdf["x1"], pdf["y1"])]})
+
+    df = rects.mapInPandas(to_wkb, "clc STRING, geom_wkb BINARY")
     return dissolve(df).select("clc", F.round("area", 9).alias("area_r"),
                                "n_parts")
+
+
+def _sql_dissolve_layers_duck() -> str:
+    """DuckDB oracle for the two-level dissolve: union AREA by the classic
+    coordinate-compression sweep (distinct x-edges -> slabs -> per-slab
+    merged y-intervals via gaps-and-islands) and N_PARTS by recursive
+    min-label propagation over the rect touch/overlap graph (closed
+    intervals, so edge- and corner-touch merge — the engine's distance==0
+    criterion)."""
+    rects = _dissolve_rects_sql(
+        f"SELECT CAST(range AS BIGINT) AS i FROM range(0, {_DISSOLVE_N})")
+    return f"""
+WITH RECURSIVE rects AS ({rects}),
+xs AS (SELECT DISTINCT clc, x FROM
+        (SELECT clc, x0 AS x FROM rects
+         UNION ALL SELECT clc, x1 FROM rects) ux),
+slabs AS (SELECT clc, x AS sx0,
+                 LEAD(x) OVER (PARTITION BY clc ORDER BY x) AS sx1 FROM xs),
+sl AS (SELECT clc, sx0, sx1 FROM slabs WHERE sx1 IS NOT NULL),
+cov AS (SELECT s.clc, s.sx0, s.sx1, r.y0, r.y1
+        FROM sl s JOIN rects r
+        ON r.clc = s.clc AND r.x0 <= s.sx0 AND r.x1 >= s.sx1),
+ordv AS (SELECT clc, sx0, sx1, y0, y1,
+         MAX(y1) OVER (PARTITION BY clc, sx0 ORDER BY y0, y1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max FROM cov),
+isl AS (SELECT clc, sx0, sx1, y0, y1,
+        SUM(CASE WHEN prev_max IS NULL OR y0 > prev_max THEN 1 ELSE 0 END)
+          OVER (PARTITION BY clc, sx0 ORDER BY y0, y1
+                ROWS UNBOUNDED PRECEDING) AS island FROM ordv),
+ih AS (SELECT clc, sx0, sx1, island, MAX(y1) - MIN(y0) AS hgt
+       FROM isl GROUP BY clc, sx0, sx1, island),
+ar AS (SELECT clc, SUM(hgt * (sx1 - sx0)) AS area FROM ih GROUP BY clc),
+rid AS (SELECT clc,
+        ROW_NUMBER() OVER (PARTITION BY clc ORDER BY x0, y0, x1, y1) AS rid,
+        x0, y0, x1, y1 FROM rects),
+edges AS (SELECT a.clc, a.rid AS s, b.rid AS t FROM rid a JOIN rid b
+          ON a.clc = b.clc AND a.x0 <= b.x1 AND b.x0 <= a.x1
+          AND a.y0 <= b.y1 AND b.y0 <= a.y1),
+reach AS (SELECT clc, rid, rid AS lab FROM rid
+          UNION
+          SELECT e.clc, e.s AS rid, r.lab FROM reach r
+          JOIN edges e ON e.clc = r.clc AND e.t = r.rid),
+comp AS (SELECT clc, rid, MIN(lab) AS lab FROM reach GROUP BY clc, rid),
+np AS (SELECT clc, COUNT(DISTINCT lab) AS n_parts FROM comp GROUP BY clc)
+SELECT ar.clc AS clc, ROUND(CAST(ar.area AS DOUBLE), 9) AS area_r,
+       CAST(np.n_parts AS INTEGER) AS n_parts
+FROM ar JOIN np ON ar.clc = np.clc
+"""
 
 
 def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "streaming_cell_rollup": _q_streaming_cell_rollup,
         "media_features": _q_media_features,
+        "dissolve_layers": _q_dissolve_layers,
         # geometry kernel (pytest-verified; rows-only check here)
         "patches_landuse": _q_patches_landuse,
         "cover_landuse": _q_cover_landuse,
@@ -1143,7 +1229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connectedness": _q_connectedness,
         "habitat_patches": _q_habitat_patches,
         "voronoi_cells": _q_voronoi_cells,
-        "dissolve_layers": _q_dissolve_layers,
     }
 
 
@@ -1190,4 +1275,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
         "streaming_cell_rollup": _sql_streaming_cell_rollup_duck(),
         "media_features": _sql_media_features_duck(),
+        "dissolve_layers": _sql_dissolve_layers_duck(),
     }

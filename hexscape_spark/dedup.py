@@ -100,13 +100,18 @@ def _bucket_pairs(buckets: DataFrame, key: str,
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
                       num_hashes: int = 32, bands: int = 8,
                       shingle_k: int = 3,
-                      max_bucket: int | None = 10_000) -> DataFrame:
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     signature -> `bands` band-hashes -> explode -> self-join per bucket.
     Shuffle key is (band, band_hash): sparse buckets keep the join skew-safe
-    and AQE splits hot buckets; `max_bucket` bounds the worst-case pair
-    count per bucket (see _bucket_pairs).  Returns distinct (a, b), a < b.
+    and AQE splits hot buckets.  `max_bucket` is an OPT-IN cap on per-bucket
+    membership (default None = complete results, matching the portable
+    variant; ADVICE r02 — a silent default cap quietly changed existing
+    callers' results).  At web scale PASS a cap: one degenerate bucket of
+    10^6 boilerplate pages emits 10^12 pairs otherwise (see _bucket_pairs);
+    exact-dup clusters dropped by the cap are what exact_duplicates already
+    catches more cheaply.  Returns distinct (a, b), a < b.
     """
     rows = num_hashes // bands
     sig = with_minhash(df.select(key, text), text, num_hashes, shingle_k)

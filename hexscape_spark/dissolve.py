@@ -1,18 +1,25 @@
-"""A2: geometric union aggregate (dissolve) per group.
+"""A2: geometric union aggregate (dissolve) per group — two-level.
 
 summarise(geometry = st_union(geometry)) (R/extract_corine.R:156,
-R/load_corine.R:254,278) as a grouped-map aggregation.  The union AREA is
-exact for arbitrary overlapping inputs (geo.union_area — strip-sweep
-boolean area, overlap counted once); `n_parts` is the number of connected
-components of the union (polygons touching or overlapping merge — the same
-criterion st_union uses), computed by union-find over the pairwise
-bbox-prefiltered distance==0 test.
+R/load_corine.R:254,278) with the distributed shape SURVEY §2.4 A2
+prescribes: partition-local pre-union -> final merge, so one CLC class
+with 10^7 features never lands in a single task with the raw inputs —
+level 1 collapses each (key, salt) slice to its exact union boundary
+(typically a tiny fraction of the input vertices), and level 2 unions the
+partial boundaries.
 
-The emitted multipolygon WKB keeps the input rings (a coverage-exact
-boundary representation would need full polygon clipping; every numeric
-the engine computes downstream — area, components — is overlap-aware), so
-consumers must treat `geom_wkb` as the collection of source rings, while
-`area`/`n_parts` are true-union values.
+The emitted `geom_wkb` is now the TRUE dissolved boundary
+(geo.union_polygons: exact trapezoid-sweep boundary trace — every vertex
+an input vertex, a segment crossing, or an exact evaluation at an event
+x), closing the r2 gap where consumers clipping/plotting the dissolved
+geometry inherited source-ring overlaps.  `area` is the exact union area
+(overlap counted once) and `n_parts` the number of touch/overlap-connected
+components (the st_union merge criterion, crossing-aware per ADVICE r02).
+
+If boundary tracing ever fails on degenerate input (UnionTraceError — the
+trace self-validates against the trapezoid-sum area), the group falls back
+to the r2 representation: source rings as geometry with area/n_parts still
+exact via the independent strip-sweep kernels.
 """
 
 from __future__ import annotations
@@ -20,49 +27,74 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import geo
 
 
-def _component_count(polys: list[list[np.ndarray]]) -> int:
-    """Connected components of the union: union-find over touch/overlap."""
-    n = len(polys)
-    parent = list(range(n))
-
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    bounds = [geo.polygons_bounds([p]) for p in polys]
-    for i in range(n):
-        for j in range(i + 1, n):
-            bi, bj = bounds[i], bounds[j]
-            if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
-                continue                     # bbox-disjoint: cannot touch
-            if geo.polygons_distance([polys[i]], [polys[j]]) == 0.0:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[ri] = rj
-    return len({find(i) for i in range(n)})
+def _union_or_fallback(polys: list[list[np.ndarray]]
+                       ) -> tuple[list[list[np.ndarray]], int, float, bool]:
+    """(union pieces, n_components, exact area, traced?) for one group."""
+    comps = geo.overlap_components(polys)
+    pieces: list[list[np.ndarray]] = []
+    area = 0.0
+    traced = True
+    for comp in comps:
+        sub = [polys[i] for i in comp]
+        try:
+            merged = geo.union_component(sub)
+            pieces.extend(merged)
+            area += geo.polygons_area(merged)
+        except geo.UnionTraceError:
+            pieces.extend(sub)                      # fallback: source rings
+            area += geo.union_area(sub)             # area stays exact
+            traced = False
+    return pieces, len(comps), area, traced
 
 
-def dissolve(df: DataFrame, key: str = "clc",
-             geom: str = "geom_wkb") -> DataFrame:
-    """groupBy(key) -> one multipolygon per key + true-union area and
-    connected-part count."""
-    schema = f"{key} STRING, geom_wkb BINARY, area DOUBLE, n_parts INT"
+def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
+             num_salts: int = 32) -> DataFrame:
+    """groupBy(key) -> true-union multipolygon + exact union area and
+    connected-part count, computed in two levels:
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = []
+      level 1: groupBy(key, salt) pre-union per slice (salt =
+               xxhash64(geometry) % num_salts — deterministic, spreads a
+               hot key over num_salts tasks);
+      level 2: groupBy(key) union of the partial boundaries.
+
+    Both levels run geo.union_polygons; n_parts at level 2 counts the
+    global components (partials from different slices merge when they
+    touch/overlap across slice boundaries).
+    """
+    l1_schema = f"{key} STRING, geom_wkb BINARY"
+
+    def pre_union(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys: list[list[np.ndarray]] = []
         for w in pdf[geom]:
             polys.extend(geo.wkb_to_polygons(bytes(w)))
+        pieces, _, _, _ = _union_or_fallback(polys)
         return pd.DataFrame({
             key: [pdf[key].iloc[0]],
-            "geom_wkb": [geo.multipolygon_to_wkb(polys)],
-            "area": [geo.union_area(polys)],
-            "n_parts": [_component_count(polys)],
+            "geom_wkb": [geo.multipolygon_to_wkb(pieces)],
         })
 
-    return df.select(key, geom).groupBy(key).applyInPandas(merge, schema=schema)
+    salted = df.select(key, geom).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(geom)), F.lit(num_salts)))
+    partial = salted.groupBy(key, "__salt").applyInPandas(
+        pre_union, schema=l1_schema)
+
+    out_schema = f"{key} STRING, geom_wkb BINARY, area DOUBLE, n_parts INT"
+
+    def final_union(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys: list[list[np.ndarray]] = []
+        for w in pdf["geom_wkb"]:
+            polys.extend(geo.wkb_to_polygons(bytes(w)))
+        pieces, n_comps, area, _ = _union_or_fallback(polys)
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]],
+            "geom_wkb": [geo.multipolygon_to_wkb(pieces)],
+            "area": [area],
+            "n_parts": [n_comps],
+        })
+
+    return partial.groupBy(key).applyInPandas(final_union, schema=out_schema)

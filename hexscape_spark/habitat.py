@@ -61,8 +61,13 @@ def grid_components(cells: DataFrame, max_rounds: int = 64) -> DataFrame:
     graph.bfs_hops iterative pattern).  Returns (ix, iy, comp) where comp
     is the component's minimum node key.
     """
+    # collision-free node key: (iy << 32) | lower-32-of-ix — safe for any
+    # raster up to 2^32 columns incl. negative indices (ADVICE r02: the old
+    # iy*1e6+ix packing silently merged components past 10^6 columns)
     nodes = cells.select("ix", "iy").distinct().selectExpr(
-        "ix", "iy", "CAST(iy AS BIGINT) * 1000000 + ix AS node") \
+        "ix", "iy",
+        "shiftleft(CAST(iy AS BIGINT), 32) | "
+        "(CAST(ix AS BIGINT) & 4294967295) AS node") \
         .localCheckpoint(eager=True)
     right = nodes.selectExpr("ix AS jx", "iy AS jy", "node AS nbr")
     e = []

@@ -34,6 +34,20 @@ from .dissolve import dissolve
 MISSING_CC = "MISSING_CC"        # R/extract_corine.R:191-193
 
 
+def _regroup_fingerprint(regroup: "int | DataFrame | None"):
+    """Checkpoint-params fingerprint of a regroup spec.  A mapping DataFrame
+    is fingerprinted by its CONTENT (sorted (code, group) rows hashed), so
+    two runs with different mappings never share a checkpoint (ADVICE r02:
+    the old boolean collapse let resume=True silently reuse a stale cover
+    computed under another mapping)."""
+    if regroup is None or isinstance(regroup, int):
+        return regroup
+    import hashlib
+    rows = sorted((str(r[0]), str(r[1]))
+                  for r in regroup.select("clc", "clc_group").collect())
+    return "map:" + hashlib.md5(repr(rows).encode("utf-8")).hexdigest()
+
+
 def regroup_landcover(df: DataFrame, regroup: "int | DataFrame",
                       code: str = "clc") -> DataFrame:
     """CLC regrouping (R/load_corine.R:61-93).
@@ -107,6 +121,7 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
     Returns {"cells": per-(cell, clc) areas incl. MISSING_CC rows,
              "dissolved": per-clc union geometry + area (+labels)}."""
     mode = "reuse" if resume else "overwrite"
+    regroup_fp = _regroup_fingerprint(regroup) if checkpoint_root else None
 
     # 1. pushdown-friendly filter + projection
     lc = landcover.select("poly_id", "clc", "geom_wkb")
@@ -133,7 +148,7 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
         cover = checkpoint(cover, checkpoint_root, "lc_cover",
                            params={"hex_width": hex_width,
                                    "clc_filter": clc_filter,
-                                   "regroup": regroup if isinstance(regroup, int) else regroup is not None},
+                                   "regroup": regroup_fp},
                            mode=mode)
     else:
         # the gap computation reads the cover twice (per-cell sums + union);
@@ -157,7 +172,7 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
         cells = checkpoint(cells, checkpoint_root, "lc_cells",
                            params={"hex_width": hex_width,
                                    "clc_filter": clc_filter,
-                                   "regroup": regroup if isinstance(regroup, int) else regroup is not None},
+                                   "regroup": regroup_fp},
                            mode=mode)
 
     # 6. dissolve per code + 7. broadcast label join

@@ -87,3 +87,48 @@ def test_simplify_never_gains_vertices(seed, n, keep):
     ring = _rand_poly(seed, n, True)
     simp = geo.simplify_polygons_keep([[ring]], keep)
     assert 3 <= len(simp[0][0]) <= len(ring)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), m=st.integers(2, 25))
+def test_union_polygons_area_matches_sweep(seed, m):
+    """The traced union boundary (union_polygons) must reproduce the
+    independent strip-sweep union_area exactly, on random rects AND
+    random convex-ish polygons (crossing-heavy)."""
+    rng = np.random.RandomState(seed)
+    polys = []
+    for i in range(m):
+        if rng.rand() < 0.5:
+            x0, y0 = rng.uniform(0, 12, 2)
+            w, h = rng.uniform(0.5, 5, 2)
+            polys.append([geo.rect_ring(x0, y0, x0 + w, y0 + h)])
+        else:
+            ring = _rand_poly(seed * 13 + i, int(rng.randint(4, 10)), True)
+            polys.append([ring + rng.uniform(0, 12, 2)])
+    u = geo.union_polygons(polys)
+    assert geo.polygons_area(u) == pytest.approx(geo.union_area(polys),
+                                                 rel=1e-9, abs=1e-9)
+    # every piece's area is positive and pieces partition the union
+    for p in u:
+        assert geo.polygon_area(p) > -1e-12
+
+
+def test_union_polygons_hole_and_containment():
+    """A ring of rects produces a true hole; interior points classify
+    correctly against the traced boundary."""
+    polys = [[geo.rect_ring(0, 0, 3, 1)], [geo.rect_ring(0, 2, 3, 3)],
+             [geo.rect_ring(0, 0, 1, 3)], [geo.rect_ring(2, 0, 3, 3)]]
+    u = geo.union_polygons(polys)
+    assert geo.polygons_area(u) == pytest.approx(8.0)
+    assert not geo.points_in_polygons(np.array([1.5]), np.array([1.5]), u)[0]
+    assert geo.points_in_polygons(np.array([0.5]), np.array([0.5]), u)[0]
+
+
+def test_polygons_distance_detects_pure_crossing():
+    """ADVICE r02: plus-sign rectangles cross with no vertex of either
+    inside the other — distance must be 0 and they form ONE component."""
+    a = [geo.rect_ring(-3, -1, 3, 1)]
+    b = [geo.rect_ring(-1, -3, 1, 3)]
+    assert geo.polygons_distance([a], [b]) == 0.0
+    assert len(geo.overlap_components([a, b])) == 1
+    assert geo.polygons_area(geo.union_polygons([a, b])) == pytest.approx(20.0)
