@@ -71,9 +71,27 @@ def test_habitat_no_cell_level_driver_funnels():
 
     from hexscape_spark import habitat as hab_mod
     src = inspect.getsource(hab_mod.discretise_habitat)
-    assert src.count(".toPandas()") <= 2   # hab_pd + point coords only
+    assert src.count(".toPandas()") <= 1   # hab_pd dimension table only
+    # bandwidth moments must come from a distributed agg, and the point
+    # coordinates must reach executors as a broadcast, not a UDF closure
+    assert "percentile(" in src and "stddev_samp" in src
+    assert ".broadcast(" in src
     comp_src = inspect.getsource(hab_mod.grid_components)
     assert ".toPandas()" not in comp_src and ".collect()" not in comp_src
+
+
+def test_kde_chunking_exact(spark, habitat_df, monkeypatch):
+    """Point-chunked KDE == unchunked: forcing a tiny _KDE_PT_CHUNK must
+    not change any output value (pins the bounded per-batch allocation,
+    VERDICT r02 #2)."""
+    from hexscape_spark import habitat as hab_mod
+    a = discretise_habitat(spark, habitat_df, seed=3).toPandas() \
+        .sort_values("PatchID").reset_index(drop=True)
+    monkeypatch.setattr(hab_mod, "_KDE_PT_CHUNK", 17)
+    b = discretise_habitat(spark, habitat_df, seed=3).toPandas() \
+        .sort_values("PatchID").reset_index(drop=True)
+    assert (a.PatchID.values == b.PatchID.values).all()
+    assert np.allclose(a.area.values, b.area.values, rtol=0, atol=1e-9)
 
 
 def test_grid_components_labels_match_unionfind(spark):
