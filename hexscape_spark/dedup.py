@@ -272,15 +272,60 @@ def embedding_near_dup_pairs(df: DataFrame, key: str = "vec_id",
                              vec: str = "embedding",
                              threshold: float = 0.45) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, EXACT: all pairs with
-    cosine >= threshold (rounded to 6 dp).  This is the verify kernel; at
-    corpus scale generate candidates first (similarity.cosine_topk_lsh's
-    multi-table buckets) and run this predicate on candidates only — the
-    exact form doubles as the driver-oracle query on the test corpus."""
+    cosine >= threshold (rounded to 6 dp).  This is the verify/oracle
+    kernel (all-pairs theta join — test corpora only); the corpus-scale
+    composition is embedding_near_dup_pairs_lsh, whose recall against this
+    kernel is pytest-pinned on planted duplicates."""
     from .similarity import _dot, with_unit_norm
     u = with_unit_norm(df, vec).select(F.col(key), F.col("unit_vec"))
     a = u.selectExpr(f"{key} AS a", "unit_vec AS ua")
     b = u.selectExpr(f"{key} AS b", "unit_vec AS ub")
     pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = F.round(_dot(F.col("ua"), F.col("ub")), 6)
+    return (pairs.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))
+
+
+def embedding_near_dup_pairs_lsh(df: DataFrame, key: str = "vec_id",
+                                 vec: str = "embedding",
+                                 threshold: float = 0.45, planes: int = 8,
+                                 dim: int = 64, tables: int = 4,
+                                 max_bucket: int | None = 10_000) -> DataFrame:
+    """Embedding-cosine near-duplicates at corpus scale (VERDICT r02 #3):
+    multi-table hyperplane-LSH candidate generation -> the EXACT cosine
+    predicate, applied only to candidates.  Every join is an equi-join on
+    (table, bucket) or on `key` — never the all-pairs theta join of the
+    exact kernel (embedding_near_dup_pairs, which remains the oracle on
+    test corpora).  Recall is the OR-construction collision probability
+    1 - (1 - p^planes)^tables; per-table buckets above `max_bucket` are
+    dropped before the self-join (degenerate identical-vector clusters).
+    Returns (a, b, cosine) with a < b and cosine >= threshold (6 dp)."""
+    from .similarity import _dot, with_lsh_buckets, with_unit_norm
+    u = with_unit_norm(df, vec)
+    b = with_lsh_buckets(u, "unit_vec", planes, dim, tables)
+    # exchange barrier: sketches computed once, not re-inlined per consumer
+    b = b.select(key, *[f"__b{t}" for t in range(tables)]) \
+         .repartition(F.col(key))
+    buckets = b.select(
+        key, F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("h"))
+            for t in range(tables)])).alias("s")) \
+        .select(key, "s.tbl", "s.h")
+    if max_bucket is not None:
+        ok = (buckets.groupBy("tbl", "h")
+              .agg(F.count(F.lit(1)).alias("__m"))
+              .where(F.col("__m") <= max_bucket).select("tbl", "h"))
+        buckets = buckets.join(ok, on=["tbl", "h"])
+    lhs = buckets.select(F.col(key).alias("a"), "tbl", "h")
+    rhs = buckets.select(F.col(key).alias("b"), "tbl", "h")
+    cands = (lhs.join(rhs, on=["tbl", "h"])
+             .where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    vecs = u.select(F.col(key), F.col("unit_vec"))
+    pairs = (cands
+             .join(vecs.selectExpr(f"{key} AS a", "unit_vec AS ua"), on="a")
+             .join(vecs.selectExpr(f"{key} AS b", "unit_vec AS ub"), on="b"))
     cos = F.round(_dot(F.col("ua"), F.col("ub")), 6)
     return (pairs.withColumn("cosine", cos)
             .where(F.col("cosine") >= threshold)

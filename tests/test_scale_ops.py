@@ -392,3 +392,37 @@ def test_dedup_variants_find_planted_near_dups(spark):
     got = {(r.a, r.b) for r in pairs.collect()}
     assert (100, 101) in got
     assert all(a != 102 and b != 102 for a, b in got)
+
+
+def test_embedding_near_dup_lsh_recall_and_plan(spark):
+    """Scale path for embedding near-dups (VERDICT r02 #3): LSH candidates
+    -> exact cosine predicate.  On planted near-duplicates it recovers
+    >= 0.95 of the exact kernel's pairs at fixed params, and the plan
+    contains NO theta/nested-loop join (the exact kernel does)."""
+    import numpy as np
+    from hexscape_spark.dedup import (embedding_near_dup_pairs,
+                                      embedding_near_dup_pairs_lsh)
+    rng = np.random.RandomState(13)
+    dim = 16
+    base = rng.normal(size=(120, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base + rng.normal(scale=0.02, size=base.shape)
+    rows = [(i, b.tolist()) for i, b in enumerate(base)] + \
+           [(1000 + i, n.tolist()) for i, n in enumerate(noisy)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    exact = embedding_near_dup_pairs(df, threshold=0.95).toPandas()
+    got = embedding_near_dup_pairs_lsh(df, threshold=0.95, planes=6,
+                                       dim=dim, tables=8).toPandas()
+    exact_pairs = set(zip(exact.a, exact.b))
+    got_pairs = set(zip(got.a, got.b))
+    assert exact_pairs, "fixture must plant near-duplicate pairs"
+    assert got_pairs <= exact_pairs          # exact predicate: no extras
+    assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.95
+    # cosines agree exactly on the recovered pairs
+    m = exact.merge(got, on=["a", "b"], suffixes=("", "_lsh"))
+    assert (m.cosine == m.cosine_lsh).all()
+    plan = embedding_near_dup_pairs_lsh(
+        df, planes=6, dim=dim, tables=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
