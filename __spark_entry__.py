@@ -673,6 +673,11 @@ def _q_patches_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_neighbours_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 patch adjacency with border lengths on the F2 square —
+    ORACLE-GATED (r3): on a rectangular landscape every border is a hex
+    edge clipped to the rect, so the whole kernel output (fast complete-
+    cell path + slow clipped path + min_prop filter) has a closed form the
+    DuckDB oracle reproduces (_sql_neighbours_square_duck)."""
     from hexscape_spark import geo
     from hexscape_spark.neighbours import generate_neighbours
     from hexscape_spark.tiling import generate_patches
@@ -681,6 +686,56 @@ def _q_neighbours_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = generate_neighbours(p, land, hex_width=2.0)
     return nb.select("Index", "Neighbour", F.round("Border", 9).alias("border_r"),
                      "Direction")
+
+
+def _sql_neighbours_square_duck(min_prop: float = 0.01) -> str:
+    """Closed-form oracle for _q_neighbours_square: lattice enumeration
+    (same range derivation as the engine), exact hex∩rect areas via the
+    clamp-Green identity (sqlgen.hex_rect_area_layers), the engine's
+    complete-cell fast path (Border = side length when both areas exceed
+    (1-min_prop)·hexarea, R/generate_neighbours.R:86-93), and Liang–Barsky
+    clipped edge lengths for boundary edges (:100-133)."""
+    from hexscape_spark.hexgrid import NEIGHBOUR_OFFSETS
+    from hexscape_spark.neighbours import _edge_offsets
+    w = _LW
+    hexarea = P.hex_area(w)
+    hexlth = P.hex_side(w)
+    cx, cy = sqlgen.centroid_exprs("q", "r", w, P.REFX, P.REFY)
+    ids = f"SELECT CAST(range AS BIGINT) AS i FROM range(0, {_NR * _NQ})"
+    base = (f"SELECT CAST(i % {_NQ} + {_Q_LO} AS BIGINT) AS q, "
+            f"CAST(CAST((i - (i % {_NQ})) / {_NQ} AS BIGINT) + {_R_LO} "
+            "AS BIGINT) AS r "
+            f"FROM ({ids}) AS ids")
+    layers = [[("cx", cx), ("cy", cy)]] + sqlgen.hex_rect_area_layers(
+        "cx", "cy", w, 0.0, 0.0, 50.0, 50.0, out="area")
+    cells = sqlgen.build_query(
+        f"({base})", layers, select="q, r, cx, cy, area",
+        where=f"area >= {sqlgen._f(min_prop * hexarea)}")
+    offs = ", ".join(f"({dq}, {dr}, '{d}')" for dr, dq, d in NEIGHBOUR_OFFSETS)
+    clip_branches = " ".join(
+        "WHEN dir = '{d}' THEN {e}".format(
+            d=d, e=sqlgen.segment_rect_clip_len_expr(
+                "cx", "cy", p0[0], p0[1], p1[0], p1[1],
+                0.0, 0.0, 50.0, 50.0))
+        for d, (p0, p1) in _edge_offsets(w).items())
+    comp = sqlgen._f((1.0 - min_prop) * hexarea)
+    return f"""
+WITH cells AS ({cells}),
+idx AS (SELECT q, r, cx, cy, area,
+        ROW_NUMBER() OVER (ORDER BY q, r) AS ix FROM cells),
+offs AS (SELECT * FROM (VALUES {offs}) AS v(dq, dr, dir)),
+edges AS (SELECT a.ix AS a_ix, b.ix AS b_ix, a.cx AS cx, a.cy AS cy,
+                 a.area AS sa, b.area AS sb, o.dir AS dir
+          FROM idx a JOIN offs o ON 1=1
+          JOIN idx b ON b.q = a.q + o.dq AND b.r = a.r + o.dr),
+bord AS (SELECT a_ix, b_ix, dir,
+         CASE WHEN sa > {comp} AND sb > {comp} THEN {sqlgen._f(hexlth)}
+              ELSE CASE {clip_branches} END END AS border
+         FROM edges)
+SELECT a_ix AS Index, b_ix AS Neighbour, ROUND(border, 9) AS border_r,
+       dir AS Direction
+FROM bord WHERE border > {sqlgen._f(min_prop * hexlth)}
+"""
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,8 +954,63 @@ GROUP BY 1, 2
 """
 
 
+def _sql_cover_landuse_duck() -> str:
+    """Closed-form oracle for _q_cover_landuse (r3 stretch): every F4 layer
+    polygon is an axis-aligned rectangle, so each (cell, category) cover
+    area is a sum of clamp-Green hex∩rect areas (sqlgen.hex_rect_area_
+    layers) and the per-cell proportion is a window normalisation."""
+    from hexscape_spark import geo as _geo
+    from hexscape_spark.synth import land_use_square
+    w = _LW
+    cx, cy = sqlgen.centroid_exprs("q", "r", w, P.REFX, P.REFY)
+    cats: list[tuple[str, list[tuple[float, float, float, float]]]] = []
+    for cat, kind, wkb in land_use_square(1.0):
+        if kind == "Impassable":
+            continue
+        rects = [_geo.polygons_bounds([p]) for p in _geo.wkb_to_polygons(wkb)]
+        cats.append((cat, rects))
+    ids = f"SELECT CAST(range AS BIGINT) AS i FROM range(0, {_NR * _NQ})"
+    base = (f"SELECT CAST(i % {_NQ} + {_Q_LO} AS BIGINT) AS q, "
+            f"CAST(CAST((i - (i % {_NQ})) / {_NQ} AS BIGINT) + {_R_LO} "
+            "AS BIGINT) AS r "
+            f"FROM ({ids}) AS ids")
+    layers: list = [[("cx", cx), ("cy", cy)]]
+    cat_exprs = []
+    k = 0
+    for cat, rects in cats:
+        parts = []
+        for rc in rects:
+            layers += sqlgen.hex_rect_area_layers(
+                "cx", "cy", w, *rc, out=f"ra{k}", prefix=f"__a{k}_")
+            parts.append(f"ra{k}")
+            k += 1
+        cat_exprs.append((cat, " + ".join(parts)))
+    wide = sqlgen.build_query(
+        f"({base})", layers,
+        select=f"q, r, {sqlgen.cell_id_expr('q', 'r')} AS cell_id, "
+               + ", ".join(f"({e}) AS a_{i}" for i, (_, e) in
+                           enumerate(cat_exprs)))
+    # tangent hexes (edge exactly on a rect side) are exact zeros in the
+    # kernel but can leave a ±1e-17 clamp-Green residue: filter on the
+    # ROUNDED area (true overlaps on this fixture are >= 1e-3)
+    selects = " UNION ALL ".join(
+        f"SELECT cell_id, q, r, '{cat}' AS category, a_{i} AS cat_area "
+        f"FROM wide WHERE ROUND(a_{i}, 9) > 0.0E0"
+        for i, (cat, _) in enumerate(cat_exprs))
+    return f"""
+WITH wide AS ({wide}),
+un AS ({selects})
+SELECT cell_id, q, r, category, ROUND(cat_area, 9) AS cat_area_r,
+       ROUND(cat_area / SUM(cat_area) OVER (PARTITION BY cell_id), 9)
+         AS proportion_r
+FROM un
+"""
+
+
 def _q_cover_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 scale path: polygon-side cell cover + equi-join rollup."""
+    """J6 scale path: polygon-side cell cover + equi-join rollup —
+    ORACLE-GATED (r3): the F4 layers are axis-aligned rects, so the DuckDB
+    oracle recomputes every cover area in closed form."""
     from hexscape_spark.cover import (landuse_rollup_from_cover,
                                       polygon_cell_cover)
     from hexscape_spark.synth import land_use_square
@@ -1220,10 +1330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cell_rollup": _q_streaming_cell_rollup,
         "media_features": _q_media_features,
         "dissolve_layers": _q_dissolve_layers,
+        "neighbours_square": _q_neighbours_square,
+        "cover_landuse": _q_cover_landuse,
         # geometry kernel (pytest-verified; rows-only check here)
         "patches_landuse": _q_patches_landuse,
-        "cover_landuse": _q_cover_landuse,
-        "neighbours_square": _q_neighbours_square,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "connectedness": _q_connectedness,
@@ -1276,4 +1386,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cell_rollup": _sql_streaming_cell_rollup_duck(),
         "media_features": _sql_media_features_duck(),
         "dissolve_layers": _sql_dissolve_layers_duck(),
+        "neighbours_square": _sql_neighbours_square_duck(),
+        "cover_landuse": _sql_cover_landuse_duck(),
     }

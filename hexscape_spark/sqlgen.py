@@ -201,6 +201,125 @@ def mix_expr(b: str, a: int, bb: int, c: int, intdiv: str = "DIV") -> str:
 
 
 # ---------------------------------------------------------------------------
+# Closed-form hex ∩ axis-aligned-rect geometry (shared SQL)
+#
+# These let the DuckDB oracle reproduce the geometry KERNEL's numbers on
+# rectangular landscapes/layers with no geometry library at all:
+#
+#   * hex_rect_area_layers — exact area(hexagon ∩ rect) via the clamp-Green
+#     identity  area = Σ_edges ∫_edge (clamp(x, X0, X1) − X0)·[Y0≤y≤Y1] dy
+#     over the CCW hex boundary (Fubini: ∮ M dy = ∬ ∂M/∂x dA needs only
+#     M(·, y) absolutely continuous in x, which clamp is), each edge
+#     integral a ≤3-piece trapezoid sum with breakpoints where x(t) crosses
+#     X0/X1 — pure CASE/LEAST/GREATEST arithmetic.
+#   * segment_rect_clip_len_expr — Liang–Barsky length of a segment inside
+#     a rect (the exact value of geo.segment_length_in_polygons on rects,
+#     reference border semantics R/generate_neighbours.R:100-133).
+#
+# Direction constants (edge offsets) are resolved at generation time, so
+# the emitted SQL has no divisions by column values.
+# ---------------------------------------------------------------------------
+
+
+def hex_vertex_offsets(hex_width: float = P.HEX_WIDTH
+                       ) -> list[tuple[float, float]]:
+    """CCW pointy-top hex vertex offsets from the centroid (same ring as
+    tiling._hex_ring)."""
+    h = P.hex_height(hex_width)
+    s = P.hex_side(hex_width)
+    w = hex_width
+    return [(0.0, h / 2), (-w / 2, s / 2), (-w / 2, -s / 2),
+            (0.0, -h / 2), (w / 2, -s / 2), (w / 2, s / 2)]
+
+
+def hex_rect_area_layers(cx: str, cy: str, hex_width: float,
+                         minx: float, miny: float, maxx: float, maxy: float,
+                         out: str = "hr_area",
+                         prefix: str = "__ha") -> list[list[tuple[str, str]]]:
+    """Layers adding `out` = exact area(hex(cx, cy) ∩ rect).  `cx`/`cy`
+    must be aliases available in the enclosing layered query."""
+    verts = hex_vertex_offsets(hex_width)
+    layer_u: list[tuple[str, str]] = []
+    layer_m: list[tuple[str, str]] = []
+    layer_g: list[tuple[str, str]] = []
+    terms: list[str] = []
+    for e in range(6):
+        (axo, ayo), (bxo, byo) = verts[e], verts[(e + 1) % 6]
+        dx, dy = bxo - axo, byo - ayo               # dy != 0 for all edges
+        ax = f"(({cx}) + {_f(axo)})"
+        ay = f"(({cy}) + {_f(ayo)})"
+        t_y0 = f"(({_f(miny)} - {ay}) / {_f(dy)})"
+        t_y1 = f"(({_f(maxy)} - {ay}) / {_f(dy)})"
+        lo, hi = (t_y0, t_y1) if dy > 0 else (t_y1, t_y0)
+        u0, u1 = f"{prefix}{e}_u0", f"{prefix}{e}_u1"
+        layer_u.append((u0, f"GREATEST(0.0E0, {lo})"))
+        layer_u.append((u1, f"LEAST(1.0E0, {hi})"))
+
+        def g_of(t_expr: str) -> str:
+            x_t = f"({ax} + ({t_expr}) * {_f(dx)})"
+            return (f"(LEAST(GREATEST({x_t}, {_f(minx)}), {_f(maxx)})"
+                    f" - {_f(minx)})")
+
+        if dx == 0.0:
+            gc = f"{prefix}{e}_gc"
+            layer_g.append((gc, f"(LEAST(GREATEST({ax}, {_f(minx)}), "
+                                f"{_f(maxx)}) - {_f(minx)})"))
+            terms.append(f"CASE WHEN {u1} > {u0} THEN "
+                         f"{_f(dy)} * ({u1} - {u0}) * {gc} ELSE 0.0E0 END")
+        else:
+            t_x0 = f"(({_f(minx)} - {ax}) / {_f(dx)})"
+            t_x1 = f"(({_f(maxx)} - {ax}) / {_f(dx)})"
+            c1, c2 = (t_x0, t_x1) if dx > 0 else (t_x1, t_x0)
+            m1, m2 = f"{prefix}{e}_m1", f"{prefix}{e}_m2"
+            layer_m.append((m1, f"LEAST(GREATEST({c1}, {u0}), {u1})"))
+            layer_m.append((m2, f"LEAST(GREATEST({c2}, {u0}), {u1})"))
+            g0, g1 = f"{prefix}{e}_g0", f"{prefix}{e}_g1"
+            g2, g3 = f"{prefix}{e}_g2", f"{prefix}{e}_g3"
+            layer_g.append((g0, g_of(u0)))
+            layer_g.append((g1, g_of(m1)))
+            layer_g.append((g2, g_of(m2)))
+            layer_g.append((g3, g_of(u1)))
+            terms.append(
+                f"CASE WHEN {u1} > {u0} THEN {_f(dy)} * 0.5E0 * ("
+                f"({m1} - {u0}) * ({g0} + {g1}) + "
+                f"({m2} - {m1}) * ({g1} + {g2}) + "
+                f"({u1} - {m2}) * ({g2} + {g3})) ELSE 0.0E0 END")
+    return [layer_u, layer_m, layer_g, [(out, " + ".join(terms))]]
+
+
+def segment_rect_clip_len_expr(px: str, py: str, ax_off: float, ay_off: float,
+                               bx_off: float, by_off: float,
+                               minx: float, miny: float,
+                               maxx: float, maxy: float) -> str:
+    """Length of the segment from (px+ax_off, py+ay_off) to
+    (px+bx_off, py+by_off) inside the rect — Liang–Barsky, with the
+    direction constants resolved at generation time."""
+    import math
+    dx, dy = bx_off - ax_off, by_off - ay_off
+    ax = f"(({px}) + {_f(ax_off)})"
+    ay = f"(({py}) + {_f(ay_off)})"
+    los: list[str] = ["0.0E0"]
+    his: list[str] = ["1.0E0"]
+    gates: list[str] = []
+    for d, a, lo_b, hi_b in ((dx, ax, minx, maxx), (dy, ay, miny, maxy)):
+        if d > 0:
+            los.append(f"(({_f(lo_b)} - {a}) / {_f(d)})")
+            his.append(f"(({_f(hi_b)} - {a}) / {_f(d)})")
+        elif d < 0:
+            los.append(f"(({_f(hi_b)} - {a}) / {_f(d)})")
+            his.append(f"(({_f(lo_b)} - {a}) / {_f(d)})")
+        else:
+            gates.append(f"({a} >= {_f(lo_b)} AND {a} <= {_f(hi_b)})")
+    t0 = f"GREATEST({', '.join(los)})"
+    t1 = f"LEAST({', '.join(his)})"
+    seg = math.hypot(dx, dy)
+    expr = f"GREATEST(0.0E0, ({t1}) - ({t0})) * {_f(seg)}"
+    if gates:
+        expr = f"CASE WHEN {' AND '.join(gates)} THEN {expr} ELSE 0.0E0 END"
+    return expr
+
+
+# ---------------------------------------------------------------------------
 # Whole geocode+assign query over a table with an integer key
 # ---------------------------------------------------------------------------
 
