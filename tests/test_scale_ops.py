@@ -426,3 +426,38 @@ def test_embedding_near_dup_lsh_recall_and_plan(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_features_ranks_by_polygon_not_centroid(spark):
+    """J8 geometry refinement (VERDICT r02 Missing #3): the patch whose
+    GEOMETRY is nearest wins even though its CENTROID is farther than the
+    competitor's — matching st_nearest_feature on clipped boundary
+    patches — and the surfaced distance equals the brute-force
+    point-to-polygon value."""
+    import numpy as np
+    from hexscape_spark import geo
+    from hexscape_spark.knn import nearest_features
+
+    # w=2, ref (0,0): cell (0,0) spans x in [-1,1], cell (1,0) centre 2.0.
+    # Patch A: long thin rect reaching x=0.98 (centroid x ~0.49).
+    # Patch B: blob at x in [1.3,1.7] (centroid x = 1.5).
+    # Point at (1.1, 0): geometry distances dA=0.12 < dB=0.2, but centroid
+    # distances 0.61 > 0.4 — centroid ranking would pick B.
+    a_wkb = geo.polygon_to_wkb([geo.rect_ring(0.0, -0.4, 0.98, 0.4)])
+    b_wkb = geo.polygon_to_wkb([geo.rect_ring(1.3, -0.4, 1.7, 0.4)])
+    patches = spark.createDataFrame(
+        [(1, 0, 0, bytearray(a_wkb)), (2, 1, 0, bytearray(b_wkb))],
+        "Index LONG, q LONG, r LONG, geom_wkb BINARY")
+    points = spark.createDataFrame([(7, 1.1, 0.0, 0, 0)],
+                                   "point_id LONG, lon DOUBLE, lat DOUBLE, "
+                                   "q LONG, r LONG")
+    pt = (np.array([1.1]), np.array([0.0]))
+    d_a = geo.dist_points_to_polygons(*pt, geo.wkb_to_polygons(a_wkb))[0]
+    d_b = geo.dist_points_to_polygons(*pt, geo.wkb_to_polygons(b_wkb))[0]
+    ca = geo.polygons_centroid(geo.wkb_to_polygons(a_wkb))
+    cb = geo.polygons_centroid(geo.wkb_to_polygons(b_wkb))
+    assert d_a < d_b                                   # geometry says A
+    assert np.hypot(1.1 - ca[0], ca[1]) > np.hypot(1.1 - cb[0], cb[1])  # centroid says B
+    got = nearest_features(points, patches, k_ring=2).toPandas()
+    assert got.nn_index.iloc[0] == 1
+    assert got.dist.iloc[0] == pytest.approx(d_a)
