@@ -114,3 +114,104 @@ def with_tmerc(df: DataFrame, lat: str = "lat_deg", lon: str = "lon_deg",
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+# --- Lambert azimuthal equal-area (ellipsoidal) -------------------------------
+#
+# EPSG:3035 (ETRS89-LAEA) is the reference's primary CRS — its GISCO layers
+# are distributed in LAEA (R/download_maps.R:53).  Implemented from Snyder,
+# "Map Projections: A Working Manual" (USGS PP 1395), pp. 187-190, oblique
+# aspect: authalic-latitude mapping beta = arcsin(q/q_p), then the spherical
+# LAEA on the authalic sphere with the D stretch.  Exactly equal-area by
+# construction; the inverse iterates Snyder eq. 3-16 to double precision.
+
+_E2 = _F * (2 - _F)
+
+
+def _q_authalic(sphi: np.ndarray) -> np.ndarray:
+    """Snyder eq. 3-12: q(phi) from sin(phi)."""
+    esphi = _E * sphi
+    return (1 - _E2) * (sphi / (1 - _E2 * sphi * sphi)
+                        - np.log((1 - esphi) / (1 + esphi)) / (2 * _E))
+
+
+_QP = float(_q_authalic(np.array([1.0]))[0])
+_RQ = _A * math.sqrt(_QP / 2.0)
+
+
+def laea_forward(lat_deg: np.ndarray, lon_deg: np.ndarray,
+                 lat0_deg: float = 52.0, lon0_deg: float = 10.0,
+                 fe: float = 4321000.0, fn: float = 3210000.0
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Geographic (degrees) -> LAEA easting/northing (m).  Defaults are
+    EPSG:3035 (ETRS89-extended / LAEA Europe)."""
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
+    phi1 = math.radians(lat0_deg)
+    q = _q_authalic(np.sin(phi))
+    q1 = float(_q_authalic(np.array([math.sin(phi1)]))[0])
+    beta = np.arcsin(np.clip(q / _QP, -1.0, 1.0))
+    beta1 = math.asin(min(1.0, max(-1.0, q1 / _QP)))
+    m1 = math.cos(phi1) / math.sqrt(1 - _E2 * math.sin(phi1) ** 2)
+    d = _A * m1 / (_RQ * math.cos(beta1))
+    cosb, sinb = np.cos(beta), np.sin(beta)
+    b = _RQ * np.sqrt(2.0 / (1.0 + math.sin(beta1) * sinb
+                             + math.cos(beta1) * cosb * np.cos(lam)))
+    e = fe + b * d * cosb * np.sin(lam)
+    n = fn + (b / d) * (math.cos(beta1) * sinb
+                        - math.sin(beta1) * cosb * np.cos(lam))
+    return e, n
+
+
+def laea_inverse(e: np.ndarray, n: np.ndarray,
+                 lat0_deg: float = 52.0, lon0_deg: float = 10.0,
+                 fe: float = 4321000.0, fn: float = 3210000.0
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """LAEA easting/northing (m) -> geographic (degrees)."""
+    x = np.asarray(e, dtype=np.float64) - fe
+    y = np.asarray(n, dtype=np.float64) - fn
+    phi1 = math.radians(lat0_deg)
+    q1 = float(_q_authalic(np.array([math.sin(phi1)]))[0])
+    beta1 = math.asin(min(1.0, max(-1.0, q1 / _QP)))
+    m1 = math.cos(phi1) / math.sqrt(1 - _E2 * math.sin(phi1) ** 2)
+    d = _A * m1 / (_RQ * math.cos(beta1))
+    rho = np.hypot(x / d, d * y)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _RQ), -1.0, 1.0))
+        q = _QP * (np.cos(ce) * math.sin(beta1)
+                   + d * y * np.sin(ce) * math.cos(beta1) / rho)
+    q = np.where(rho == 0.0, _QP * math.sin(beta1), q)
+    lam = np.arctan2(x * np.sin(ce),
+                     d * rho * math.cos(beta1) * np.cos(ce)
+                     - d * d * y * math.sin(beta1) * np.sin(ce))
+    # Snyder eq. 3-16 iteration for phi from q
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        sphi = np.sin(phi)
+        esphi = _E * sphi
+        denom = 1 - _E2 * sphi * sphi
+        corr = (denom * denom / (2.0 * np.cos(phi))) * (
+            q / (1 - _E2) - sphi / denom
+            + np.log((1 - esphi) / (1 + esphi)) / (2 * _E))
+        phi = phi + np.where(np.isfinite(corr), corr, 0.0)
+    return np.degrees(phi), lon0_deg + np.degrees(lam)
+
+
+def with_laea(df: DataFrame, lat: str = "lat_deg", lon: str = "lon_deg",
+              lat0: float = 52.0, lon0: float = 10.0,
+              fe: float = 4321000.0, fn: float = 3210000.0,
+              out_e: str = "easting", out_n: str = "northing") -> DataFrame:
+    """st_transform to EPSG:3035-style LAEA, Arrow-batched."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema += f", {out_e} DOUBLE, {out_n} DOUBLE"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            e, n = laea_forward(pdf[lat].to_numpy(), pdf[lon].to_numpy(),
+                                lat0, lon0, fe, fn)
+            pdf[out_e] = e
+            pdf[out_n] = n
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
