@@ -147,3 +147,19 @@ def generate_connectedness(patches: DataFrame,
                    (F.col("sy") - F.col("ty")) ** 2))
                .drop("sx", "sy", "tx", "ty"))
     return out
+
+
+def connectedness_wide(conn: DataFrame,
+                       targets: list[int] | None = None) -> DataFrame:
+    """Dense-matrix output option (R/generate_connectedness.R:249-260):
+    one row per Source, one zero-filled column per Target.  Pass the
+    target id list when known to skip the extra distinct pass Spark's
+    pivot otherwise runs; zero fill matches the reference's dense matrix
+    (absent pair == kernel contribution 0 beyond max_distance)."""
+    if targets is None:
+        targets = [r["Target"] for r in
+                   conn.select("Target").distinct().orderBy("Target").collect()]
+    wide = (conn.groupBy("Source")
+            .pivot("Target", values=sorted(targets))
+            .agg(F.first("Connectedness")))
+    return wide.na.fill(0.0)

@@ -71,3 +71,28 @@ def test_connectedness_grid_convergence(spark, patch_df):
     j = c10.merge(c20, on=["Source", "Target"], suffixes=("_10", "_20"))
     rel = (j.Connectedness_10 - j.Connectedness_20).abs() / j.Connectedness_20
     assert rel.median() < 0.15
+
+
+def test_connectedness_wide_marginals_match_long(spark):
+    """Dense pivot (R/generate_connectedness.R:249-260): row sums of the
+    zero-filled matrix equal the long form's per-Source sums, and absent
+    pairs are genuine zeros."""
+    import numpy as np
+    rows = [(1, 2, 0.5), (1, 3, 0.25), (2, 1, 0.5), (3, 1, 0.2)]
+    conn = spark.createDataFrame(
+        rows, "Source LONG, Target LONG, Connectedness DOUBLE")
+    from hexscape_spark.connectedness import connectedness_wide
+    wide = connectedness_wide(conn).toPandas() \
+        .sort_values("Source").reset_index(drop=True)
+    assert list(wide.columns) == ["Source", "1", "2", "3"]
+    long = conn.toPandas()
+    for _, row in wide.iterrows():
+        want = long[long.Source == row.Source].Connectedness.sum()
+        assert row[["1", "2", "3"]].sum() == pytest.approx(want)
+    # zero fill: (2,3) and (3,2) absent in long form
+    assert wide.loc[wide.Source == 2, "3"].iloc[0] == 0.0
+    assert wide.loc[wide.Source == 3, "2"].iloc[0] == 0.0
+    # column marginals too
+    for t in ("1", "2", "3"):
+        want = long[long.Target == int(t)].Connectedness.sum()
+        assert wide[t].sum() == pytest.approx(want)
