@@ -644,11 +644,11 @@ FROM embeddings GROUP BY label
 # ---------------------------------------------------------------------------
 
 def _q_patches_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """generate_patches superset fixture: square landscape + land-use
-    layers (LU_* area columns) UNION the F3 hole polygon (split cells share
-    (q,r) with distinct Index).  Rows-only; golden facts for both halves in
-    test_split_patches.py / test_tiling.py."""
-    import numpy as np
+    """generate_patches on the F2 square + F4 land-use layers (net area
+    after Impassable subtraction, lu_sum, LU_* proportions incl. the
+    Passable eps rule) — ORACLE-GATED (r3, VERDICT stretch #9): every
+    layer is an axis-aligned rect, so the whole wide output has a
+    clamp-Green closed form in DuckDB."""
     from hexscape_spark import geo
     from hexscape_spark.synth import land_use_square
     from hexscape_spark.tiling import generate_patches
@@ -656,20 +656,99 @@ def _q_patches_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = generate_patches(spark, land, hex_width=2.0, reference_point=(0.0, 0.0),
                          min_prop=0.01, land_use=land_use_square(1.0))
     lu = [c for c in p.columns if c.startswith("LU_")]
-    sq = p.select("Index", "q", "r", F.round("area", 9).alias("area_r"),
-                  F.round("lu_sum", 9).alias("lu_sum_r"),
-                  *[F.round(c, 9).alias(c) for c in lu])
+    return p.select("Index", "q", "r", F.round("area", 9).alias("area_r"),
+                    F.round("lu_sum", 9).alias("lu_sum_r"),
+                    *[F.round(c, 9).alias(c) for c in lu])
 
+
+def _sql_patches_landuse_duck() -> str:
+    """Closed-form oracle for _q_patches_landuse: lattice enumeration, net
+    area = hex∩landscape − hex∩Impassable, per-category hex∩rect areas,
+    the engine's exact lu_sum/LU_* arithmetic including the Passable
+    epsilon rule (R/generate_patches.R:334-355), dense Index over (q, r).
+    """
+    import numpy as np
+
+    from hexscape_spark import geo as _geo
+    from hexscape_spark.synth import land_use_square
+    w = _LW
+    hexarea = P.hex_area(w)
+    min_area = 0.01 * hexarea
+    eps = float(np.sqrt(np.finfo(float).eps))
+    cx, cy = sqlgen.centroid_exprs("q", "r", w, P.REFX, P.REFY)
+    ids = f"SELECT CAST(range AS BIGINT) AS i FROM range(0, {_NR * _NQ})"
+    base = (f"SELECT CAST(i % {_NQ} + {_Q_LO} AS BIGINT) AS q, "
+            f"CAST(CAST((i - (i % {_NQ})) / {_NQ} AS BIGINT) + {_R_LO} "
+            "AS BIGINT) AS r "
+            f"FROM ({ids}) AS ids")
+    layers: list = [[("cx", cx), ("cy", cy)]]
+    layers += sqlgen.hex_rect_area_layers("cx", "cy", w, 0.0, 0.0, 50.0, 50.0,
+                                          out="a_land", prefix="__L")
+    cats: list[tuple[str, str]] = []      # (name, area expr) in layer order
+    k = 0
+    imp_expr = "0.0E0"
+    snap_layer: list[tuple[str, str]] = []
+    for cat, kind, wkb in land_use_square(1.0):
+        parts = []
+        for poly in _geo.wkb_to_polygons(wkb):
+            rc = _geo.polygons_bounds([poly])
+            layers += sqlgen.hex_rect_area_layers(
+                "cx", "cy", w, *rc, out=f"pa{k}", prefix=f"__p{k}_")
+            # tangent hexes (edge exactly on a layer side) are exact zeros
+            # in the kernel but leave ±1e-17 clamp-Green residues that
+            # would poison the LU ratios; snap them (true areas >= 1e-3)
+            snap_layer.append((f"sa{k}", f"CASE WHEN ABS(pa{k}) < 1.0E-12 "
+                                         f"THEN 0.0E0 ELSE pa{k} END"))
+            parts.append(f"sa{k}")
+            k += 1
+        expr = " + ".join(parts)
+        if kind == "Impassable":
+            imp_expr = expr
+        else:
+            cats.append((cat, expr))
+    lu_sum = " + ".join(e for _, e in cats)        # left-assoc, engine order
+    layers += [snap_layer, [("a_imp", imp_expr), ("lu_sum", lu_sum)]]
+    prop_t = {c: f"CASE WHEN lu_sum > 0.0E0 THEN ({e}) / lu_sum "
+                 "ELSE 0.0E0 END" for c, e in cats}
+    others = " + ".join(["0.0E0"] + [
+        f"CASE WHEN lu_sum > {sqlgen._f(eps)} THEN ({e}) / lu_sum "
+        "ELSE 0.0E0 END" for c, e in cats if c != "Passable"])
+    lu_cols = []
+    for c, _e in cats:
+        if c == "Passable":
+            lu_cols.append((f"LU_{c}",
+                            f"CASE WHEN lu_sum < {sqlgen._f(eps)} THEN "
+                            f"1.0E0 - ({others}) ELSE {prop_t[c]} END"))
+        else:
+            lu_cols.append((f"LU_{c}", prop_t[c]))
+    layers += [[("net_area", "a_land - a_imp")], lu_cols]
+    wide = sqlgen.build_query(
+        f"({base})", layers,
+        select="q, r, net_area, lu_sum, "
+               + ", ".join(f"LU_{c}" for c, _ in cats),
+        where=f"net_area >= {sqlgen._f(min_area)}")
+    lu_sel = ", ".join(f"ROUND(LU_{c}, 9) AS LU_{c}" for c, _ in cats)
+    return f"""
+WITH wide AS ({wide})
+SELECT ROW_NUMBER() OVER (ORDER BY q, r) AS Index, q, r,
+       ROUND(net_area, 9) AS area_r, ROUND(lu_sum, 9) AS lu_sum_r, {lu_sel}
+FROM wide
+"""
+
+
+def _q_split_patches_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7b split patches (st_cast POLYGON): the F3 pentagon-with-hole
+    landscape — split cells share (q, r) with distinct dense Index.
+    Rows-only (the landscape is not rectangular, so no closed form);
+    golden facts incl. per-component LU areas in test_split_patches.py."""
+    import numpy as np
+    from hexscape_spark import geo
+    from hexscape_spark.tiling import generate_patches
     outer = np.array([[0, 0], [10, 0], [30, 20], [20, 40], [10, 40]], float)
     hole = np.array([[10, 10], [10, 20], [20, 20]], float)
     hl = geo.polygon_to_wkb([outer, hole])
     ph = generate_patches(spark, hl, hex_width=5.0, reference_point=(0.0, 40.0))
-    hole_rows = ph.select(
-        "Index", "q", "r", F.round("area", 9).alias("area_r"),
-        F.round(F.lit(-1.0), 9).alias("lu_sum_r"),
-        *[F.round(F.lit(-1.0), 9).alias(c) for c in lu]) \
-        .withColumn("Index", F.col("Index") + 100000)
-    return sq.unionByName(hole_rows)
+    return ph.select("Index", "q", "r", F.round("area", 9).alias("area_r"))
 
 
 def _q_neighbours_square(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,10 +1411,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_layers": _q_dissolve_layers,
         "neighbours_square": _q_neighbours_square,
         "cover_landuse": _q_cover_landuse,
-        # geometry kernel (pytest-verified; rows-only check here)
         "patches_landuse": _q_patches_landuse,
+        # geometry kernel (pytest-verified; rows-only check here).  NOTE
+        # the 50-entry driver cap: ivf_topk's slot went to
+        # split_patches_hole in r3 — cosine_topk_ivf stays fully
+        # pytest-verified (test_ivf_recall_and_exactness) and ANN remains
+        # contract-covered by knn_cosine + lsh_topk.
+        "split_patches_hole": _q_split_patches_hole,
         "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
         "connectedness": _q_connectedness,
         "habitat_patches": _q_habitat_patches,
         "voronoi_cells": _q_voronoi_cells,
@@ -1388,4 +1471,5 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_layers": _sql_dissolve_layers_duck(),
         "neighbours_square": _sql_neighbours_square_duck(),
         "cover_landuse": _sql_cover_landuse_duck(),
+        "patches_landuse": _sql_patches_landuse_duck(),
     }

@@ -42,7 +42,15 @@ BENCH_QUERIES = [
     "patches_landuse",
     "neighbours_square",
     "cover_landuse",
+    "dissolve_layers",
 ]
+
+# In-JVM repetitions per query (min taken).  r2 flagged a +0.1-0.4 s drift
+# on nine sub-second queries vs r1; running the suite twice in one JVM
+# shows pass 2 systematically faster and stable -> the drift is JIT/
+# suite-position noise, and min-of-2 reports the steady-state number
+# (pass totals are still emitted so the warmup cost stays visible).
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 THROUGHPUT_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "5000000"))
@@ -95,13 +103,17 @@ def main() -> None:
         lambda it: it, schema="id LONG").count()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    t_all = time.time()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = queries[name](spark, SF_DIR)
-        rows[name] = df.count()
-        timings[name] = round(time.time() - t0, 4)
-    total = round(time.time() - t_all, 4)
+    pass_totals: list[float] = []
+    for _ in range(max(1, REPS)):
+        t_all = time.time()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = queries[name](spark, SF_DIR)
+            rows[name] = df.count()
+            dt = round(time.time() - t0, 4)
+            timings[name] = min(timings.get(name, 1e18), dt)
+        pass_totals.append(round(time.time() - t_all, 4))
+    total = round(sum(timings.values()), 4)
     thr = _throughput(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -113,6 +125,9 @@ def main() -> None:
         "sf": float(sf),
         "rows": rows,
         "cpus": int(CPUS),
+        "reps": max(1, REPS),
+        "timing": "per-query min over reps in one JVM",
+        "pass_totals": pass_totals,
         **thr,
     }))
     spark.stop()
