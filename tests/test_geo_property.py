@@ -132,3 +132,39 @@ def test_polygons_distance_detects_pure_crossing():
     assert geo.polygons_distance([a], [b]) == 0.0
     assert len(geo.overlap_components([a, b])) == 1
     assert geo.polygons_area(geo.union_polygons([a, b])) == pytest.approx(20.0)
+
+
+def test_union_polygons_with_holes_in_input():
+    """Inputs that already carry holes union correctly: a plug inside the
+    hole stays a separate component; a bridge across the hole merges and
+    shrinks the hole."""
+    frame = [geo.rect_ring(0, 0, 10, 10), geo.rect_ring(3, 3, 7, 7)[::-1]]
+    plug = [geo.rect_ring(4, 4, 6, 6)]
+    u = geo.union_polygons([frame, plug])
+    assert len(geo.overlap_components([frame, plug])) == 2
+    assert geo.polygons_area(u) == pytest.approx(100 - 16 + 4)
+    bridge = [geo.rect_ring(2, 4, 8, 6)]
+    u2 = geo.union_polygons([frame, bridge])
+    assert geo.polygons_area(u2) == pytest.approx(
+        geo.union_area([frame, bridge]))
+    # the bridged union is one polygon with two holes
+    assert len(u2) == 1 and len(u2[0]) == 3
+
+
+def test_dissolve_fallback_stays_exact(monkeypatch):
+    """If boundary tracing ever fails (UnionTraceError), the group falls
+    back to source rings while area and n_parts stay exact via the
+    independent strip-sweep kernels."""
+    from hexscape_spark import dissolve as dmod
+
+    def boom(polys, _depth=0):
+        raise geo.UnionTraceError("forced")
+
+    monkeypatch.setattr(dmod.geo, "union_component", boom)
+    polys = [[geo.rect_ring(0, 0, 2, 2)], [geo.rect_ring(1, 1, 3, 3)],
+             [geo.rect_ring(5, 5, 6, 6)]]
+    pieces, n_comps, area, traced = dmod._union_or_fallback(polys)
+    assert not traced
+    assert n_comps == 2
+    assert area == pytest.approx(7.0 + 1.0)
+    assert len(pieces) == 3          # source rings pass through
