@@ -936,16 +936,26 @@ class UnionTraceError(ValueError):
     """Raised when boundary stitching fails on degenerate input."""
 
 
-def overlap_components(polys: list[list[np.ndarray]]) -> list[list[int]]:
+def overlap_components(polys: list[list[np.ndarray]],
+                       tol: float | None = None) -> list[list[int]]:
     """Connected components of a polygon set under touch/overlap — the
     st_union merge criterion (distance == 0).  Candidate pairs come from a
     bbox grid hash (cell = median bbox size), NOT an O(n²) loop (VERDICT
     r02 Missing #2); the exact test is polygons_distance (crossing-aware).
+
+    `tol` is the touch snap tolerance (GEOS-style): polygons within `tol`
+    merge.  Default = 1e-9 x the set's extent — needed because a traced
+    partial-union boundary carries interpolated vertices, so two partials
+    sharing an edge can sit ~1 ulp apart rather than at exact distance 0.
     """
     n = len(polys)
     if n <= 1:
         return [[i] for i in range(n)]
     bounds = np.array([polygons_bounds([p]) for p in polys])
+    if tol is None:
+        ext = max(float(bounds[:, 2].max() - bounds[:, 0].min()),
+                  float(bounds[:, 3].max() - bounds[:, 1].min()), 1e-300)
+        tol = 1e-9 * ext
     wids = bounds[:, 2] - bounds[:, 0]
     hgts = bounds[:, 3] - bounds[:, 1]
     cell = max(float(np.median(wids)), float(np.median(hgts)), 1e-12)
@@ -982,10 +992,10 @@ def overlap_components(polys: list[list[np.ndarray]]) -> list[list[int]]:
                     continue
                 tested.add(key)
                 bi_, bj_ = bounds[i], bounds[j]
-                if (bi_[2] < bj_[0] or bj_[2] < bi_[0] or
-                        bi_[3] < bj_[1] or bj_[3] < bi_[1]):
+                if (bi_[2] < bj_[0] - tol or bj_[2] < bi_[0] - tol or
+                        bi_[3] < bj_[1] - tol or bj_[3] < bi_[1] - tol):
                     continue
-                if polygons_distance([polys[i]], [polys[j]]) == 0.0:
+                if polygons_distance([polys[i]], [polys[j]]) <= tol:
                     parent[find(i)] = find(j)
     comps: dict[int, list[int]] = {}
     for i in range(n):

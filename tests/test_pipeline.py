@@ -152,3 +152,24 @@ def test_dissolve_two_level_hot_key(spark):
     assert int(d.loc["G"].n_parts) == 1
     tp = geo.wkb_to_polygons(bytes(d.loc["G"].geom_wkb))
     assert geo.polygons_area(tp) == pytest.approx(1600.0)
+
+
+def test_dissolve_adjacent_hex_patches(spark):
+    """The extract_landcover input class: dissolving ADJACENT hex patches
+    (bit-identical shared slanted edges) traces one clean union polygon
+    whose area equals the patch-area sum — the st_union the reference runs
+    per CLC code (R/extract_corine.R:156)."""
+    from hexscape_spark.dissolve import dissolve
+    from hexscape_spark.tiling import generate_patches
+    land = geo.rect_wkb(0.0, 0.0, 14.0, 14.0)
+    p = generate_patches(spark, land, hex_width=2.0,
+                         reference_point=(0.0, 0.0), keep_geometry=True)
+    pdfp = p.select("area", "geom_wkb").toPandas()
+    rows = [("X", bytearray(bytes(w))) for w in pdfp.geom_wkb]
+    df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
+    d = dissolve(df).toPandas().set_index("clc")
+    assert d.loc["X"].area == pytest.approx(pdfp.area.sum(), rel=1e-9)
+    assert int(d.loc["X"].n_parts) == 1
+    polys = geo.wkb_to_polygons(bytes(d.loc["X"].geom_wkb))
+    assert geo.polygons_area(polys) == pytest.approx(pdfp.area.sum(),
+                                                     rel=1e-9)
