@@ -734,6 +734,19 @@ def points_in_buffer(px: np.ndarray, py: np.ndarray,
     return dist_points_to_polygons(px, py, polys) <= dist
 
 
+def buffer_polygons(polys: list[list[np.ndarray]], dist: float,
+                    quad_segs: int = 8) -> list[list[np.ndarray]]:
+    """st_buffer(dist > 0) returning the actual buffered POLYGONS: the
+    Minkowski parts (buffer_parts) boundary-traced through union_polygons.
+    Disk polygonization (4*quad_segs-gon per vertex) is the only
+    approximation, identical to GEOS's quad-segment convention; area
+    equals buffer_area by construction.  Reference usages:
+    R/generate_neighbours.R:33-36,54 and R/generate_patches.R:193."""
+    if dist <= 0:
+        return polys
+    return union_polygons(buffer_parts(polys, dist, quad_segs))
+
+
 def simplify_polygons_keep(polys: list[list[np.ndarray]], keep: float,
                            iters: int = 40) -> list[list[np.ndarray]]:
     """ms_simplify(keep=, method="dp") (R/extract_corine.R:273): binary-

@@ -168,3 +168,26 @@ def test_dissolve_fallback_stays_exact(monkeypatch):
     assert n_comps == 2
     assert area == pytest.approx(7.0 + 1.0)
     assert len(pieces) == 3          # source rings pass through
+
+
+def test_buffer_polygons_geometry():
+    """st_buffer now returns actual polygons: area matches buffer_area,
+    the source is contained, near-ring points classify by exact distance,
+    and buffering two nearby squares merges them into one polygon."""
+    sq = [geo.rect_ring(0, 0, 4, 4)]
+    buf = geo.buffer_polygons([sq], 1.0, quad_segs=8)
+    assert geo.polygons_area(buf) == pytest.approx(
+        geo.buffer_area([sq], 1.0, quad_segs=8), rel=1e-9)
+    # analytic: 16 + perimeter*d + pi*d^2 (32-gon slightly below pi)
+    assert 16 + 16 + 3.1 < geo.polygons_area(buf) < 16 + 16 + np.pi + 1e-6
+    # containment: source corners and an outside probe
+    px = np.array([0.0, 4.0, 2.0, -0.95, -1.5])
+    py = np.array([0.0, 4.0, 2.0, 2.0, 2.0])
+    got = geo.points_in_polygons(px, py, buf)
+    assert got.tolist() == [True, True, True, True, False]
+    # two squares 1.5 apart, buffered by 1: union bridges the gap
+    two = [[geo.rect_ring(0, 0, 2, 2)], [geo.rect_ring(3.5, 0, 5.5, 2)]]
+    merged = geo.buffer_polygons(two, 1.0)
+    assert len(geo.overlap_components(merged)) == 1
+    assert geo.polygons_area(merged) == pytest.approx(
+        geo.buffer_area(two, 1.0), rel=1e-9)
