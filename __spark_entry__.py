@@ -941,31 +941,37 @@ WHERE cosine >= 0.45E0
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: Arrow-batched feature extraction over binary
-    payloads.  The decode is the documented deterministic sha256 stub (no
-    imaging libs in this container), which makes the metadata columns
-    exactly oracle-able in DuckDB (sha256 + hex-byte arithmetic)."""
+    """Multimodal decode + feature extraction over binary payloads — the
+    decode is now REAL (r3): pure-NumPy P6 PPM images and RIFF PCM16 WAV
+    audio, synthesised as genuine bytes per deterministic id rules.  The
+    oracle recomputes the expected dims and encoded byte lengths from the
+    same rules (header arithmetic), so the metadata verifies the whole
+    encode->decode roundtrip."""
     from hexscape_spark.multimodal import extract_features, synth_media
     return extract_features(synth_media(spark, 200)).select(
         "media_id", "kind", "n_bytes", "width", "height")
 
 
 def _sql_media_features_duck(n: int = 200) -> str:
-    b = ("(instr('0123456789abcdef', substring(h, {p1}, 1)) - 1) * 16 + "
-         "instr('0123456789abcdef', substring(h, {p2}, 1)) - 1")
-    b0 = b.format(p1=1, p2=2)
-    b1 = b.format(p1=3, p2=4)
+    """DuckDB mirror of synth_media's generation rules: image (even id)
+    P6 PPM -> n_bytes = header + 3wh, dims from the id; audio (odd id)
+    PCM16 WAV -> n_bytes = 44 + 2*n_samples, width = n_samples,
+    height = channels."""
     return f"""
 WITH m AS (SELECT CAST(range AS BIGINT) AS media_id FROM range(0, {n})),
-p AS (SELECT media_id,
-             'IMGDATA:' || CAST(media_id AS STRING) || ':' ||
-             md5(CAST(media_id AS STRING)) AS payload FROM m),
-s AS (SELECT media_id, payload, sha256(payload) AS h FROM p)
-SELECT media_id, 'image' AS kind,
-       CAST(length(payload) AS BIGINT) AS n_bytes,
-       CAST(16 + ({b0}) % 64 AS INT) AS width,
-       CAST(16 + ({b1}) % 64 AS INT) AS height
-FROM s
+d AS (SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      16 + media_id % 16 AS iw, 12 + media_id % 9 AS ih,
+      400 + media_id % 200 AS an FROM m)
+SELECT media_id, kind,
+  CAST(CASE WHEN kind = 'image'
+       THEN length('P6' || chr(10) || CAST(iw AS STRING) || ' ' ||
+                   CAST(ih AS STRING) || chr(10) || '255' || chr(10))
+            + 3 * iw * ih
+       ELSE 44 + 2 * an END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN kind = 'image' THEN iw ELSE an END AS INT) AS width,
+  CAST(CASE WHEN kind = 'image' THEN ih ELSE 1 END AS INT) AS height
+FROM d
 """
 
 

@@ -1,21 +1,32 @@
-"""Multimodal (binary payload) plumbing.
+"""Multimodal (binary payload) columns: REAL decoders, no imaging libs.
 
 Image/audio/video travel as opaque BinaryType columns with typed metadata.
-The decode/feature-extract kernels are STUBBED (no imaging libs in this
-container — clearly marked), but the Spark-side plumbing — schema,
-Arrow-batched mapInPandas signature, partitioning, batch shape — is real
-and tested: swapping the stub for PIL/ffmpeg is a one-function change.
+The container ships no PIL/ffmpeg, so the engine implements the codecs it
+can do exactly in pure NumPy:
+
+  * PPM (P6) and BMP (24-bit uncompressed BITMAPINFOHEADER) image
+    encode/decode — real, byte-exact, roundtrip-tested;
+  * WAV (RIFF PCM16) audio encode/decode — real, roundtrip-tested;
+  * video stays a clearly-marked NotImplementedError (no container format
+    is honestly decodable without ffmpeg).
+
+Feature extraction is Arrow-batched mapInPandas: images produce a 4x4
+area-averaged grayscale thumbnail (16 floats in [0,1]); audio produces 8
+per-segment RMS values + 8 rFFT log-magnitude bands.  `resize_image` is a
+real area-average resampler.  `synth_media` emits REAL PPM/WAV payloads
+from deterministic per-id rules, which is what makes the driver oracle
+possible: Spark decodes the actual bytes while DuckDB recomputes the
+expected dims and byte lengths from the same rules (header arithmetic).
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = ("media_id LONG, kind STRING, payload BINARY, "
                 "mime STRING, n_bytes LONG")
@@ -24,37 +35,191 @@ FEATURE_SCHEMA = ("media_id LONG, kind STRING, n_bytes LONG, "
                   "width INT, height INT, feature ARRAY<FLOAT>")
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB decode: deterministic fake in place of a real image decoder.
+# --- image codecs ------------------------------------------------------------
 
-    Real implementation would be e.g. PIL.Image.open(BytesIO(payload)).
-    Raises NotImplementedError for kinds we don't fake.
-    """
-    digest = hashlib.sha256(payload).digest()
-    width = 16 + digest[0] % 64
-    height = 16 + digest[1] % 64
-    rng = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
-    feat = (rng - 127.5) / 127.5
-    return width, height, feat[:16]
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """P6 binary PPM from an (h, w, 3) uint8 array."""
+    h, w, c = rgb.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + \
+        rgb.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from a P6 binary PPM (whitespace/comment tolerant)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        while i < len(payload) and payload[i] in b" \t\r\n":
+            i += 1
+        if payload[i:i + 1] == b"#":            # comment to end of line
+            while payload[i] not in b"\r\n":
+                i += 1
+            continue
+        j = i
+        while payload[j] not in b" \t\r\n":
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1                                       # single whitespace after maxval
+    w, h, maxval = vals
+    assert maxval == 255, "only 8-bit PPM supported"
+    raw = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=i)
+    return raw.reshape(h, w, 3).copy()
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR,
+    4-byte-padded rows) from an (h, w, 3) uint8 array."""
+    h, w, c = rgb.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    bgr = rgb[:, :, ::-1].astype(np.uint8)
+    for y in range(h - 1, -1, -1):               # bottom-up
+        body += bgr[y].tobytes() + b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a 24-bit uncompressed BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp, comp = struct.unpack_from("<HI", payload, 28)[0], \
+        struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        off = data_off + y * stride
+        line = np.frombuffer(payload, dtype=np.uint8, count=row, offset=off)
+        out[h - 1 - y if flip else y] = line.reshape(w, 3)[:, ::-1]
+    return out
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-sniffing image decode: P6 PPM or 24-bit BMP."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError("unsupported image format (PPM P6 / BMP 24-bit only)")
+
+
+def resize_image(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average resize (box filter) — exact mean over each source
+    region, the right downsampling for feature thumbnails."""
+    h, w = rgb.shape[:2]
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.empty((out_h, out_w) + rgb.shape[2:], dtype=np.float64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = rgb[y0:y1, x0:x1].mean(axis=(0, 1))
+    return out
+
+
+# --- audio codec ---------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """RIFF/WAVE PCM16 mono (or (n, ch)) from int16 samples."""
+    s = np.asarray(samples, dtype=np.int16)
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    body = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) +
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(body)) + body)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(rate, channels, int16 samples (n, ch)) from RIFF PCM16."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    rate = ch = None
+    data = None
+    while i + 8 <= len(payload):
+        tag = payload[i:i + 4]
+        (ln,) = struct.unpack_from("<I", payload, i + 4)
+        if tag == b"fmt ":
+            fmt_code, ch, rate = struct.unpack_from("<HHI", payload, i + 8)
+            (bits,) = struct.unpack_from("<H", payload, i + 8 + 14)
+            if fmt_code != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif tag == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=ln // 2,
+                                 offset=i + 8)
+        i += 8 + ln + (ln % 2)
+    assert rate is not None and data is not None
+    return int(rate), int(ch), data.reshape(-1, ch)
+
+
+# --- feature extraction ---------------------------------------------------------
+
+def image_features(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, 16-float feature): 4x4 area-averaged grayscale
+    thumbnail, normalised to [0, 1]."""
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    gray = img.mean(axis=2)
+    thumb = resize_image(gray[:, :, None], 4, 4)[:, :, 0]
+    return w, h, (thumb.ravel() / 255.0).astype(np.float32)
+
+
+def audio_features(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(n_samples, n_channels, 16-float feature): 8 per-segment RMS values
+    + 8 rFFT log-magnitude bands over the mono mix."""
+    rate, ch, samples = decode_wav(payload)
+    mono = samples.mean(axis=1) / 32768.0
+    n = len(mono)
+    segs = np.array_split(mono, 8)
+    rms = np.array([np.sqrt((s * s).mean()) if len(s) else 0.0
+                    for s in segs])
+    mag = np.abs(np.fft.rfft(mono))
+    bands = np.array([b.mean() if len(b) else 0.0
+                      for b in np.array_split(mag, 8)])
+    feat = np.concatenate([rms, np.log1p(bands)]).astype(np.float32)
+    return n, ch, feat
 
 
 def extract_features(df: DataFrame, payload: str = "payload",
                      kind: str = "kind") -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 
-    mapInPandas: one vectorized pass per Arrow batch; the pattern (and the
-    tested contract) is identical for a real decoder.
+    image -> (width, height, thumbnail); audio -> (n_samples, n_channels,
+    RMS+FFT bands); video -> NotImplementedError (STUB: honestly not
+    decodable without ffmpeg — the only remaining stub in this module).
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, feats = [], [], []
             for payload_bytes, k in zip(pdf[payload], pdf[kind]):
-                if k != "image":
+                b = bytes(payload_bytes)
+                if k == "image":
+                    w, h, f = image_features(b)
+                elif k == "audio":
+                    w, h, f = audio_features(b)
+                else:
                     raise NotImplementedError(
-                        f"decode for media kind {k!r} is stubbed; only the "
-                        "deterministic 'image' fake is implemented in this "
-                        "container")
-                w, h, f = _decode_stub(bytes(payload_bytes))
+                        f"decode for media kind {k!r} requires ffmpeg-class "
+                        "dependencies not present in this container")
                 ws.append(w)
                 hs.append(h)
                 feats.append(f.tolist())
@@ -69,12 +234,46 @@ def extract_features(df: DataFrame, payload: str = "payload",
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# --- deterministic REAL media synthesis -----------------------------------------
+
+def _synth_image(i: int) -> bytes:
+    """Real P6 PPM: deterministic gradient + id-keyed pattern."""
+    w = 16 + i % 16
+    h = 12 + i % 9
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    r = (xx * 255 // max(1, w - 1)).astype(np.uint8)
+    g = (yy * 255 // max(1, h - 1)).astype(np.uint8)
+    b = ((xx * 7 + yy * 13 + i) % 256).astype(np.uint8)
+    return encode_ppm(np.stack([r, g, b], axis=2))
+
+
+def _synth_audio(i: int) -> bytes:
+    """Real PCM16 WAV: id-keyed sine."""
+    n = 400 + i % 200
+    freq = 100.0 + (i * 37) % 500
+    t = np.arange(n) / 8000.0
+    s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    return encode_wav(s, rate=8000)
+
+
 def synth_media(spark, n: int) -> DataFrame:
-    """Deterministic fake media table (payload = hashed bytes)."""
-    df = spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.concat(F.lit("IMGDATA:"), F.col("id").cast("string"),
-                          F.lit(":"), F.md5(F.col("id").cast("string"))), "UTF-8").alias("payload"),
-        F.lit("image/fake").alias("mime"))
-    return df.withColumn("n_bytes", F.length("payload").cast("long"))
+    """Deterministic media table with REAL payloads: even ids are P6 PPM
+    images, odd ids are PCM16 WAV clips."""
+    ids = spark.range(n).withColumnRenamed("id", "media_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    pl = _synth_image(i)
+                    rows.append((i, "image", pl,
+                                 "image/x-portable-pixmap", len(pl)))
+                else:
+                    pl = _synth_audio(i)
+                    rows.append((i, "audio", pl, "audio/wav", len(pl)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                              "mime", "n_bytes"])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
