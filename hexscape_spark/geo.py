@@ -1031,11 +1031,16 @@ def _poly_set_segments(polys: list[list[np.ndarray]]):
             np.concatenate(xs2), np.concatenate(ys2), np.concatenate(pid))
 
 
-def _merged_intervals_at(x1, y1, x2, y2, pid, xm: float):
+def _merged_intervals_at(x1, y1, x2, y2, pid, xm: float,
+                         sel: np.ndarray | None = None):
     """Union-merged y-intervals of the polygon set at vertical line xm,
-    keeping the SEGMENT indices that bound each merged interval.
-    Returns list of (lo_seg, hi_seg)."""
+    keeping values AND the SEGMENT indices that bound each merged
+    interval.  `sel` optionally restricts to a boolean segment subset
+    (used to evaluate one side of a two-set boolean op).  Returns list of
+    (lo_val, hi_val, lo_seg, hi_seg)."""
     mask = (x1 <= xm) != (x2 <= xm)
+    if sel is not None:
+        mask = mask & sel
     idx = np.nonzero(mask)[0]
     if len(idx) == 0:
         return []
@@ -1065,10 +1070,50 @@ def _merged_intervals_at(x1, y1, x2, y2, pid, xm: float):
             if y_hi > hi:
                 hi, hi_s = y_hi, sh
         else:
-            merged.append((lo_s, hi_s))
+            merged.append((lo, hi, lo_s, hi_s))
             lo, hi, lo_s, hi_s = y_lo, y_hi, sl, sh
-    merged.append((lo_s, hi_s))
+    merged.append((lo, hi, lo_s, hi_s))
     return merged
+
+
+def _combine_interval_lists(ia: list, ib: list, op: str) -> list:
+    """Combine two sorted merged-interval lists (lo, hi, lo_seg, hi_seg)
+    pointwise: 'intersection' or 'difference' (A minus B)."""
+    if op == "intersection":
+        out = []
+        i = j = 0
+        while i < len(ia) and j < len(ib):
+            alo, ahi, als, ahs = ia[i]
+            blo, bhi, bls, bhs = ib[j]
+            lo, lo_s = (alo, als) if alo >= blo else (blo, bls)
+            hi, hi_s = (ahi, ahs) if ahi <= bhi else (bhi, bhs)
+            if hi > lo:
+                out.append((lo, hi, lo_s, hi_s))
+            if ahi < bhi:
+                i += 1
+            else:
+                j += 1
+        return out
+    if op == "difference":
+        out = []
+        for alo, ahi, als, ahs in ia:
+            cur_lo, cur_ls = alo, als
+            done = False
+            for blo, bhi, bls, bhs in ib:
+                if bhi <= cur_lo:
+                    continue
+                if blo >= ahi:
+                    break
+                if blo > cur_lo:
+                    out.append((cur_lo, blo, cur_ls, bls))
+                cur_lo, cur_ls = bhi, bhs
+                if cur_lo >= ahi:
+                    done = True
+                    break
+            if not done and cur_lo < ahi:
+                out.append((cur_lo, ahi, cur_ls, ahs))
+        return out
+    raise ValueError(op)
 
 
 def _seam_edges(x: float, left, right, tol: float) -> list[tuple]:
@@ -1242,6 +1287,19 @@ def union_component(polys: list[list[np.ndarray]],
         [x1, x2, _pairwise_crossing_xs(x1, y1, x2, y2)]))
     bx0, by0, bx1, by1 = polygons_bounds(polys)
     diag = max(bx1 - bx0, by1 - by0, 1e-12)
+
+    def intervals(xm: float):
+        return _merged_intervals_at(x1, y1, x2, y2, pid, xm)
+
+    return _trace_regions(x1, y1, x2, y2, xs, intervals, diag)
+
+
+def _trace_regions(x1, y1, x2, y2, xs, interval_fn, diag: float
+                   ) -> list[list[np.ndarray]]:
+    """Generic boolean-region boundary trace over the strip decomposition:
+    `interval_fn(xm)` defines the region's merged y-intervals (with
+    bounding segment refs) at any sample line; the trapezoid edges + strip
+    seams stitch into rings, validated against the trapezoid-sum area."""
     tol = 1e-9 * diag
 
     def eval_at(seg: int, x: float) -> float:
@@ -1251,17 +1309,16 @@ def union_component(polys: list[list[np.ndarray]],
     edges: list[tuple] = []
     prev_iv: list[tuple[float, float]] = []
     n_strip = len(xs) - 1
-    want = 0.0         # exact union area from the trapezoids themselves
+    want = 0.0         # exact region area from the trapezoids themselves
     for k in range(len(xs)):
         x = float(xs[k])
         if k < n_strip:
             x0, x1e = float(xs[k]), float(xs[k + 1])
-            merged = _merged_intervals_at(x1, y1, x2, y2, pid,
-                                          0.5 * (x0 + x1e))
+            merged = interval_fn(0.5 * (x0 + x1e))
             cur_at_l = [(eval_at(lo, x0), eval_at(hi, x0))
-                        for lo, hi in merged]
+                        for _, _, lo, hi in merged]
             cur_at_r = [(eval_at(lo, x1e), eval_at(hi, x1e))
-                        for lo, hi in merged]
+                        for _, _, lo, hi in merged]
         else:
             cur_at_l, cur_at_r = [], []
         edges.extend(_seam_edges(x, prev_iv, cur_at_l, tol))
@@ -1275,13 +1332,59 @@ def union_component(polys: list[list[np.ndarray]],
     out = _assemble_polygons(rings)
     # stitch/assembly validation: the shoelace area of the traced rings
     # must reproduce the trapezoid-sum area of the same strip decomposition
-    # (union_area agrees with `want` by construction; cross-checked in
-    # tests where the input is small enough for the second full sweep)
     got = polygons_area(out)
     if abs(got - want) > max(1e-9, 1e-7 * abs(want)):
         raise UnionTraceError(
-            f"traced union area {got!r} != sweep area {want!r}")
+            f"traced region area {got!r} != sweep area {want!r}")
     return out
+
+
+def _boolean_polygons(a: list[list[np.ndarray]], b: list[list[np.ndarray]],
+                      op: str) -> list[list[np.ndarray]]:
+    """Boundary-traced boolean of two polygon SETS (each union-merged
+    internally first): op in {'intersection', 'difference'}."""
+    if not a:
+        return []
+    if not b:
+        return list(a) if op == "difference" else []
+    x1a, y1a, x2a, y2a, pa = _poly_set_segments(a)
+    x1b, y1b, x2b, y2b, pb = _poly_set_segments(b)
+    x1 = np.concatenate([x1a, x1b])
+    y1 = np.concatenate([y1a, y1b])
+    x2 = np.concatenate([x2a, x2b])
+    y2 = np.concatenate([y2a, y2b])
+    pid = np.concatenate([pa, pb + (pa.max() + 1 if len(pa) else 0)])
+    is_a = np.zeros(len(x1), dtype=bool)
+    is_a[:len(x1a)] = True
+    xs = np.unique(np.concatenate(
+        [x1, x2, _pairwise_crossing_xs(x1, y1, x2, y2)]))
+    bx0, by0, bx1, by1 = polygons_bounds(list(a) + list(b))
+    diag = max(bx1 - bx0, by1 - by0, 1e-12)
+
+    def intervals(xm: float):
+        ia = _merged_intervals_at(x1, y1, x2, y2, pid, xm, sel=is_a)
+        ib = _merged_intervals_at(x1, y1, x2, y2, pid, xm, sel=~is_a)
+        return _combine_interval_lists(ia, ib, op)
+
+    return _trace_regions(x1, y1, x2, y2, xs, intervals, diag)
+
+
+def intersection_polygons(a: list[list[np.ndarray]],
+                          b: list[list[np.ndarray]]
+                          ) -> list[list[np.ndarray]]:
+    """st_intersection returning actual polygons for ARBITRARY (multi)
+    polygon sets (the convex-window path stays clip_polygon_components):
+    exact boundary trace of (∪a) ∩ (∪b); area equals intersection_area."""
+    return _boolean_polygons(a, b, "intersection")
+
+
+def difference_polygons(a: list[list[np.ndarray]],
+                        b: list[list[np.ndarray]]
+                        ) -> list[list[np.ndarray]]:
+    """st_difference returning actual polygons: (∪a) minus (∪b) — the
+    geometry form of the coverage-gap computation
+    (R/extract_corine.R:177-205)."""
+    return _boolean_polygons(a, b, "difference")
 
 
 def union_polygons(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:

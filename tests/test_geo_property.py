@@ -191,3 +191,46 @@ def test_buffer_polygons_geometry():
     assert len(geo.overlap_components(merged)) == 1
     assert geo.polygons_area(merged) == pytest.approx(
         geo.buffer_area(two, 1.0), rel=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_intersection_difference_polygons_area_identities(seed):
+    """Boolean GEOMETRY forms agree with the independent area kernels:
+    area(A∩B) == intersection_area, area(A−B) == area(∪A) − area(A∩B)."""
+    rng = np.random.RandomState(seed)
+
+    def rand_set():
+        out = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.rand() < 0.6:
+                x0, y0 = rng.uniform(0, 10, 2)
+                w, h = rng.uniform(0.5, 5, 2)
+                out.append([geo.rect_ring(x0, y0, x0 + w, y0 + h)])
+            else:
+                c = rng.uniform(0, 10, 2)
+                out.append([geo.ensure_ccw(c + rng.uniform(-2.5, 2.5, (3, 2)))])
+        return out
+
+    a, b = rand_set(), rand_set()
+    it = geo.intersection_polygons(a, b)
+    assert geo.polygons_area(it) == pytest.approx(
+        geo.intersection_area(a, b), abs=1e-7)
+    d = geo.difference_polygons(a, b)
+    assert geo.polygons_area(d) == pytest.approx(
+        geo.union_area(a) - geo.intersection_area(a, b), abs=1e-7)
+
+
+def test_difference_polygons_makes_holes_and_splits():
+    """A centred subtraction yields a polygon WITH A HOLE; a through-cut
+    splits into two disjoint polygons."""
+    frame = geo.difference_polygons([[geo.rect_ring(0, 0, 10, 10)]],
+                                    [[geo.rect_ring(3, 3, 7, 7)]])
+    assert len(frame) == 1 and len(frame[0]) == 2
+    assert geo.polygons_area(frame) == pytest.approx(84.0)
+    assert not geo.points_in_polygons(np.array([5.0]), np.array([5.0]),
+                                      frame)[0]
+    halves = geo.difference_polygons([[geo.rect_ring(0, 0, 10, 4)]],
+                                     [[geo.rect_ring(4, -1, 6, 5)]])
+    assert len(halves) == 2
+    assert geo.polygons_area(halves) == pytest.approx(32.0)
