@@ -175,8 +175,38 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
                                    "regroup": regroup_fp},
                            mode=mode)
 
-    # 6. dissolve per code + 7. broadcast label join
+    # 6. dissolve per code + 7. broadcast label join.  The dissolved table
+    # also gains the reference's coverage-gap GEOMETRY row: MISSING_CC =
+    # st_difference(mask, st_union(all codes)) (R/extract_corine.R:177-205)
+    # — geo.difference_polygons over the per-code union boundaries, run as
+    # a single grouped-map over the tiny dissolved table (one row per
+    # code; the heavy lifting already happened in the two-level dissolve).
     dis = dissolve(lc, key="clc")
+    mask_bytes = bytes(mask_wkb)
+
+    def add_gap(batches):
+        import pandas as pd
+
+        from . import geo
+        parts = list(batches)
+        cols = ["clc", "geom_wkb", "area", "n_parts"]
+        pdf = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame(columns=cols))
+        mask_polys = geo.wkb_to_polygons(mask_bytes)
+        covered = [p for w in pdf["geom_wkb"]
+                   for p in geo.wkb_to_polygons(bytes(w))]
+        gap = geo.difference_polygons(mask_polys, covered)
+        row = pd.DataFrame({
+            "clc": [MISSING_CC],
+            "geom_wkb": [geo.multipolygon_to_wkb(gap)],
+            "area": [geo.polygons_area(gap)],
+            "n_parts": [len(geo.overlap_components(gap))],
+        })
+        yield pd.concat([pdf[row.columns], row], ignore_index=True)
+
+    dis = dis.repartition(1).mapInPandas(
+        add_gap, schema="clc STRING, geom_wkb BINARY, area DOUBLE, "
+                        "n_parts INT")
     if clc_labels is not None:
         dis = dis.join(F.broadcast(clc_labels), "clc", "left")
 

@@ -52,6 +52,13 @@ def test_dissolved_unions_and_labels(result):
     assert d.loc["211"].n_parts == 2
     assert d.loc["211"].area == pytest.approx((80 + 48) * 1e6)
     assert d.loc["311"].label == "Forest"
+    # r3: the coverage gap is an actual GEOMETRY row now — st_difference
+    # (mask, st_union(all codes)), R/extract_corine.R:177-205 — whose area
+    # matches the relational per-cell gap total (400 − 294 km²)
+    gap = d.loc[MISSING_CC]
+    assert gap.area == pytest.approx((400 - 294) * 1e6, rel=1e-9)
+    polys = geo.wkb_to_polygons(bytes(gap.geom_wkb))
+    assert geo.polygons_area(polys) == pytest.approx(gap.area, rel=1e-9)
 
 
 def test_dissolve_true_union_of_overlapping_inputs(spark):
