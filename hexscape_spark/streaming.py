@@ -152,3 +152,25 @@ def run_available_now(result: DataFrame, checkpoint_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def dedup_stream(df: DataFrame, keys: list[str] | None = None,
+                 ts: str = "warc_ts", watermark: str = "1 hour",
+                 within_watermark: bool = True) -> DataFrame:
+    """Streaming exact deduplication — the training-pipeline dedup in its
+    incremental form: keep the first row per key across micro-batches.
+
+    `within_watermark=True` uses dropDuplicatesWithinWatermark, which
+    BOUNDS the dedup state (keys expire once older than the watermark —
+    the only shape that survives an unbounded stream); False uses plain
+    dropDuplicates, whose state grows with distinct keys (exact forever,
+    backfill-only).  Keys default to a content hash of `text`, matching
+    dedup.exact_duplicates' criterion.
+    """
+    if keys is None:
+        df = df.withColumn("__h", F.md5(F.encode(F.col("text"), "UTF-8")))
+        keys = ["__h"]
+    wm = df.withWatermark(ts, watermark)
+    out = (wm.dropDuplicatesWithinWatermark(keys) if within_watermark
+           else wm.dropDuplicates(keys))
+    return out.drop("__h") if keys == ["__h"] else out

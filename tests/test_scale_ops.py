@@ -492,3 +492,26 @@ def test_winnowing_guarantee_and_operator(spark):
     # rolling hash really rolls: shifting a doc by a prefix keeps the
     # common suffix k-gram hashes identical
     assert set(winnow_text("xxxx" + a, k, w)) & fa
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming dedup over availableNow keeps exactly one row per content
+    hash — the incremental form of dedup.exact_duplicates (planted dupes
+    across the stream are dropped)."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+    from hexscape_spark.streaming import (dedup_stream, run_available_now,
+                                          stream_pages)
+    from hexscape_spark.synth import pages
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    # synth pages repeat texts across ids (12-word LCG texts collide), so
+    # the stream carries genuine duplicates
+    pages(spark, 2000, num_partitions=4).write.parquet(src)
+    res = dedup_stream(stream_pages(spark, src), watermark="24 hours")
+    run_available_now(res, ckpt, out)
+    got = spark.read.parquet(out).toPandas()
+    batch = pages(spark, 2000).withColumn(
+        "__h", F2.md5(F2.encode(F2.col("text"), "UTF-8"))).toPandas()
+    n_distinct = batch["__h"].nunique()
+    assert len(got) == n_distinct
+    assert got.text.map(hash).nunique() == n_distinct
