@@ -120,8 +120,13 @@ def job_landcover(spark, args) -> None:
         regroup=args.regroup, hex_width=args.hex_width,
         checkpoint_root=args.checkpoint_root, resume=args.resume)
     res["cells"].write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"job": "landcover",
-                      "cells": spark.read.parquet(args.out).count()}))
+    # r3: the dissolved table now carries TRUE union boundaries + the
+    # MISSING_CC gap geometry — persist it as the vector artifact
+    res["dissolved"].write.mode("overwrite").parquet(args.out + "_dissolved")
+    print(json.dumps({
+        "job": "landcover",
+        "cells": spark.read.parquet(args.out).count(),
+        "dissolved": spark.read.parquet(args.out + "_dissolved").count()}))
 
 
 def main(argv: list[str] | None = None) -> None:
