@@ -129,3 +129,16 @@ def test_lsh_sketch_is_arrow_batched(spark):
     df = m.queries()["lsh_topk"](spark, SF)
     plan = _plan(df)
     assert "ArrowEvalPython" in plan or "Arrow" in plan, plan
+
+
+def test_dissolve_plan_is_two_level(spark):
+    """The dissolve physical plan must contain TWO grouped-map pandas
+    stages (per-(key, salt) pre-union, then the per-key final merge) so a
+    hot key's raw features never land in a single task."""
+    from hexscape_spark import geo
+    from hexscape_spark.dissolve import dissolve
+    rows = [("A", bytearray(geo.rect_wkb(float(i), 0.0, i + 1.5, 1.0)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
+    plan = dissolve(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
