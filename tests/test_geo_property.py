@@ -234,3 +234,19 @@ def test_difference_polygons_makes_holes_and_splits():
                                      [[geo.rect_ring(4, -1, 6, 5)]])
     assert len(halves) == 2
     assert geo.polygons_area(halves) == pytest.approx(32.0)
+
+
+def test_boolean_polygons_with_holes():
+    """Intersection/difference with holey operands: the hole subtracts
+    from both results and areas match the independent kernels."""
+    frame = [geo.rect_ring(0, 0, 10, 10), geo.rect_ring(3, 3, 7, 7)[::-1]]
+    band = [geo.rect_ring(-2, 4, 12, 6)]
+    it = geo.intersection_polygons([frame], [band])
+    assert geo.polygons_area(it) == pytest.approx(
+        geo.intersection_area([frame], [band]))
+    # band through the hole: 10*2 minus the 4-wide hole span = 12
+    assert geo.polygons_area(it) == pytest.approx(12.0)
+    d = geo.difference_polygons([frame], [band])
+    assert geo.polygons_area(d) == pytest.approx(
+        geo.union_area([frame]) - geo.intersection_area([frame], [band]))
+    assert geo.polygons_area(d) == pytest.approx(84.0 - 12.0)

@@ -52,3 +52,24 @@ def test_hex_to_raster_roundtrip(spark, raster):
     j = (cells.withColumnRenamed("value", "orig")
          .join(back.select("cell_id", "avg_value"), "cell_id").toPandas())
     assert np.allclose(j.orig, j.avg_value)
+
+
+def test_raster_to_hex_area_weighted_conserves_mass(spark):
+    """Exact area-weighted resampling: Σ per-cell covered_area == raster
+    area, Σ weighted sums == Σ pixel value*area (conservative remap), and
+    a constant raster averages to that constant everywhere."""
+    from hexscape_spark.raster import raster_to_hex_area_weighted
+    n = 12
+    pixel = 700.0
+    rows = [(ix, iy, float(ix * n + iy)) for ix in range(n) for iy in range(n)]
+    raster = spark.createDataFrame(rows, "ix LONG, iy LONG, value DOUBLE")
+    out = raster_to_hex_area_weighted(raster, 0.0, 0.0, pixel).toPandas()
+    total_area = out.covered_area.sum()
+    assert total_area == pytest.approx(n * n * pixel * pixel, rel=1e-9)
+    want_mass = sum(v * pixel * pixel for _, _, v in rows)
+    assert out.wsum_value.sum() == pytest.approx(want_mass, rel=1e-9)
+    const = spark.createDataFrame([(ix, iy, 7.5) for ix in range(4)
+                                   for iy in range(4)],
+                                  "ix LONG, iy LONG, value DOUBLE")
+    cout = raster_to_hex_area_weighted(const, 0.0, 0.0, pixel).toPandas()
+    assert (abs(cout.wavg_value - 7.5) < 1e-9).all()
