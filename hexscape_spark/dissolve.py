@@ -53,7 +53,8 @@ def _union_or_fallback(polys: list[list[np.ndarray]]
 
 
 def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
-             num_salts: int = 32) -> DataFrame:
+             num_salts: int = 32,
+             simplify_keep: float | None = None) -> DataFrame:
     """groupBy(key) -> true-union multipolygon + exact union area and
     connected-part count, computed in two levels:
 
@@ -65,6 +66,12 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
     Both levels run geo.union_polygons; n_parts at level 2 counts the
     global components (partials from different slices merge when they
     touch/overlap across slice boundaries).
+
+    `simplify_keep` optionally DP-simplifies the final dissolved boundary
+    to that kept-vertex ratio (the reference's ms_simplify-after-st_union
+    flow, R/extract_corine.R:156,273); `area`/`n_parts` stay the EXACT
+    pre-simplification values (the numbers downstream rollups need), and
+    only `geom_wkb` is reduced.
     """
     l1_schema = f"{key} STRING, geom_wkb BINARY"
 
@@ -90,6 +97,8 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
         for w in pdf["geom_wkb"]:
             polys.extend(geo.wkb_to_polygons(bytes(w)))
         pieces, n_comps, area, _ = _union_or_fallback(polys)
+        if simplify_keep is not None:
+            pieces = geo.simplify_polygons_keep(pieces, simplify_keep)
         return pd.DataFrame({
             key: [pdf[key].iloc[0]],
             "geom_wkb": [geo.multipolygon_to_wkb(pieces)],

@@ -180,3 +180,24 @@ def test_dissolve_adjacent_hex_patches(spark):
     polys = geo.wkb_to_polygons(bytes(d.loc["X"].geom_wkb))
     assert geo.polygons_area(polys) == pytest.approx(pdfp.area.sum(),
                                                      rel=1e-9)
+
+
+def test_dissolve_simplify_keep_reduces_boundary_only(spark):
+    """simplify_keep thins the dissolved boundary's vertex count while
+    area/n_parts keep their exact pre-simplification values (the
+    reference's ms_simplify-after-st_union flow)."""
+    import numpy as np
+    from hexscape_spark.dissolve import dissolve
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(60):
+        x0, y0 = rng.uniform(0, 30, 2)
+        w, h = rng.uniform(2, 8, 2)
+        rows.append(("S", bytearray(geo.rect_wkb(x0, y0, x0 + w, y0 + h))))
+    df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
+    full = dissolve(df).toPandas().set_index("clc").loc["S"]
+    simp = dissolve(df, simplify_keep=0.5).toPandas().set_index("clc").loc["S"]
+    assert simp.area == full.area and simp.n_parts == full.n_parts
+    nv = lambda w: sum(len(r) for p in geo.wkb_to_polygons(bytes(w))
+                       for r in p)
+    assert nv(simp.geom_wkb) < nv(full.geom_wkb)
