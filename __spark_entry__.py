@@ -1194,8 +1194,11 @@ def _sql_streaming_cell_rollup_duck() -> str:
 
 
 def _q_connectedness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kernel connectedness on the hex-tiled 20x20 square (rows-only;
-    convergence/symmetry invariants pytest-verified)."""
+    """Kernel connectedness on the hex-tiled 20x20 square — ORACLE-GATED
+    (r4, VERDICT r03 #3): at fixture scale the kernel double integral is a
+    plain cross join + SUM(0.5/d) DuckDB runs exactly.  ROUND at 7 (not 9)
+    absorbs the cross-engine float-sum ordering difference (~1e-13 rel)
+    while the values themselves are O(1)."""
     from hexscape_spark import geo
     from hexscape_spark.connectedness import generate_connectedness
     from hexscape_spark.tiling import generate_patches
@@ -1204,8 +1207,89 @@ def _q_connectedness(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keep_geometry=True)
     conn = generate_connectedness(p, lambda d: 0.5 / d, max_distance=5.0,
                                   grid_resolution=10)
-    return conn.select("Source", "Target", F.round("Connectedness", 9)
+    return conn.select("Source", "Target", F.round("Connectedness", 7)
                        .alias("connectedness_r"))
+
+
+def _sql_connectedness_duck() -> str:
+    """DuckDB oracle for _q_connectedness: mirrors the engine exactly —
+    (1) patch set = hexgrid.lattice enumeration (same divmod bounds) +
+        centroid-distance prefilter + clamp-Green area >= min_prop*hexarea,
+        Index = ROW_NUMBER() OVER (ORDER BY q, r)  (dense_index parity as
+        in _sql_patches_landuse_duck);
+    (2) grid points (i+0.5)*grid_by over the landscape, mapped to their hex
+        by the SHARED cube-rounding SQL, joined to the patch set — point-in
+        -clipped-polygon == point-in-rect AND assigned-to-that-hex, and no
+        grid point can sit on a hex edge (grid x at *.25/*.75, edges at
+        *.0/*.5; slanted edges have irrational intercepts);
+    (3) pairs via cross join with 0 < d <= max_distance (the 3x3 bucket
+        join generates exactly this set), Connectedness =
+        SUM(0.5/d)/n_src*grid_by^2.  d <= 5 is decided identically in both
+        engines: the only boundary pairs (di^2+dj^2 = 100 on the half-unit
+        grid) are exact doubles for hypot and SQRT alike."""
+    w = 5.0
+    h = P.hex_height(w)
+    s = P.hex_side(w)
+    step = (s + h) / 2.0
+    minx, miny, maxx, maxy = 0.0, 0.0, 20.0, 20.0
+    r_lo = math.floor((0.0 - maxy) / step)
+    r_hi = math.ceil((0.0 - miny) / step)
+    tan30 = math.tan(math.pi / 6.0)
+    q_lo = math.floor((minx + (miny - 0.0) * tan30 - 0.0) / w)
+    q_hi = math.ceil((maxx + (maxy - 0.0) * tan30 - 0.0) / w)
+    nq = q_hi - q_lo + 1
+    nr = r_hi - r_lo + 1
+    thresh = h / 1.9
+    min_area = 0.01 * P.hex_area(w)
+    grid_by = 5.0 / 10
+    npx = int(round((maxx - minx) / grid_by))
+
+    cx, cy = sqlgen.centroid_exprs("q", "r", w, 0.0, 0.0)
+    dist = sqlgen.dist_point_to_rect_expr("hex_cx", "hex_cy",
+                                          minx, miny, maxx, maxy)
+    ids = f"SELECT CAST(range AS BIGINT) AS i FROM range(0, {nr * nq})"
+    base = (f"SELECT CAST(i % {nq} + {q_lo} AS BIGINT) AS q, "
+            f"CAST(CAST((i - (i % {nq})) / {nq} AS BIGINT) + {r_lo} "
+            f"AS BIGINT) AS r FROM ({ids}) AS ids")
+    layers: list = [[("hex_cx", cx), ("hex_cy", cy)]]
+    layers += sqlgen.hex_rect_area_layers("hex_cx", "hex_cy", w,
+                                          minx, miny, maxx, maxy,
+                                          out="a_land", prefix="__L")
+    patches = sqlgen.build_query(
+        f"({base})", layers, select="q, r",
+        where=f"({dist}) < {sqlgen._f(thresh)} "
+              f"AND a_land >= {sqlgen._f(min_area)}")
+
+    pt_ids = f"SELECT CAST(range AS BIGINT) AS i FROM range(0, {npx * npx})"
+    gx = f"(CAST(i % {npx} AS DOUBLE) + 0.5E0) * {sqlgen._f(grid_by)}"
+    gy = (f"(CAST(CAST((i - (i % {npx})) / {npx} AS BIGINT) AS DOUBLE) "
+          f"+ 0.5E0) * {sqlgen._f(grid_by)}")
+    pts_base = f"SELECT {gx} AS px, {gy} AS py FROM ({pt_ids}) AS ids"
+    pts = sqlgen.build_query(f"({pts_base})",
+                             sqlgen.hex_layers("px", "py", w, 0.0, 0.0),
+                             select="px, py, q, r")
+    return f"""
+WITH patch AS (SELECT ROW_NUMBER() OVER (ORDER BY q, r) AS idx, q, r
+               FROM ({patches}) AS pw),
+pts AS (SELECT patch.idx AS idx, p.px, p.py
+        FROM ({pts}) AS p JOIN patch ON p.q = patch.q AND p.r = patch.r),
+n AS (SELECT idx, COUNT(*) AS n_pts FROM pts GROUP BY idx),
+agg AS (
+  SELECT s.idx AS Source, t.idx AS Target,
+         SUM(0.5E0 / SQRT((s.px - t.px) * (s.px - t.px) +
+                          (s.py - t.py) * (s.py - t.py))) AS ssum
+  FROM pts s JOIN pts t
+    ON SQRT((s.px - t.px) * (s.px - t.px) +
+            (s.py - t.py) * (s.py - t.py)) > 0.0E0
+   AND SQRT((s.px - t.px) * (s.px - t.px) +
+            (s.py - t.py) * (s.py - t.py)) <= 5.0E0
+  GROUP BY s.idx, t.idx)
+SELECT CAST(agg.Source AS BIGINT) AS Source,
+       CAST(agg.Target AS BIGINT) AS Target,
+       ROUND(agg.ssum / n.n_pts * {sqlgen._f(grid_by * grid_by)}, 7)
+         AS connectedness_r
+FROM agg JOIN n ON n.idx = agg.Source
+"""
 
 
 def _q_habitat_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,11 +1425,53 @@ FROM ar JOIN np ON ar.clc = np.clc
 """
 
 
+def _sql_hex_nearest_cell_fast(k: int = 3) -> str:
+    """Spark-side plan for the J8 nearest join (VERDICT r03 #2 follow-up) —
+    the DuckDB oracle keeps the ROW_NUMBER form, this emits the same result
+    from a better physical plan.  Two defects of the r3 plan fixed:
+
+      * the occupied-cell side (a few hundred rows from a 5e5-row doc-assign
+        subquery) was misestimated and planned as a SORT-MERGE join, which
+        shuffled+sorted the full 37x candidate fan-out — an explicit
+        /*+ BROADCAST(occ) */ makes the candidate join a map-side hash probe;
+      * the per-event ROW_NUMBER window (shuffle + sort of every matched
+        candidate) is replaced by MIN(named_struct(dist, cell_id)) — struct
+        comparison is field-order lexicographic, so this IS "ORDER BY dist
+        ASC, cell_id ASC LIMIT 1" — as a hash aggregate with map-side
+        partial combine: shuffle volume drops from all-candidates to
+        one-row-per-event.
+
+    Ring escalation (join ring<=1 first, escalate the unproven remainder)
+    was measured too: with Catalyst re-inlining the event/doc assign CTEs
+    per stage it costs MORE here than the 37-offset broadcast probe saves
+    (5.3 s vs 2.6 s at sf0.1); the escalating form lives in
+    knn.nearest_cells_escalating for persisted-input pipelines where the
+    fan-out term dominates (1000-executor regime), with fixture-parity
+    pinned in tests/test_hexgrid.py.
+    """
+    ev = sqlgen.assign_sql("events", "event_id")
+    docs = _docs_assign_sub()
+    cx, cy = sqlgen.centroid_exprs("cq", "cr")
+    dist = (f"SQRT((ev.lon - ({cx})) * (ev.lon - ({cx})) + "
+            f"(ev.lat - ({cy})) * (ev.lat - ({cy})))")
+    return (
+        f"WITH ev AS (SELECT event_id, lon, lat, q, r FROM ({ev}) AS e), "
+        f"occ AS (SELECT DISTINCT q AS cq, r AS cr, cell_id FROM ({docs}) AS d), "
+        f"offs AS (SELECT * FROM (VALUES {_kring_values(k)}) AS v(dq, dr)), "
+        "best AS (SELECT /*+ BROADCAST(occ) */ ev.event_id, "
+        f" MIN(named_struct('d', {dist}, 'c', occ.cell_id)) AS b "
+        " FROM ev JOIN offs ON 1=1 "
+        " JOIN occ ON occ.cq = ev.q + offs.dq AND occ.cr = ev.r + offs.dr "
+        " GROUP BY ev.event_id) "
+        "SELECT event_id, b.c AS nn_cell_id, ROUND(b.d, 6) AS dist_r FROM best")
+
+
 def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Library path of the J8 nearest-feature join (knn.nearest_cells);
-    parity with the shared-SQL oracle is asserted in pytest as well."""
+    """Broadcast + min-struct path of the J8 nearest-feature join
+    (knn.nearest_cells semantics); bit-parity with the ROW_NUMBER shared-SQL
+    oracle is asserted in pytest as well."""
     _views(spark, sf_dir)
-    return spark.sql(_sql_hex_nearest_cell())
+    return spark.sql(_sql_hex_nearest_cell_fast())
 
 
 # ---------------------------------------------------------------------------
@@ -1418,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbours_square": _q_neighbours_square,
         "cover_landuse": _q_cover_landuse,
         "patches_landuse": _q_patches_landuse,
+        "connectedness": _q_connectedness,
         # geometry kernel (pytest-verified; rows-only check here).  NOTE
         # the 50-entry driver cap: ivf_topk's slot went to
         # split_patches_hole in r3 — cosine_topk_ivf stays fully
@@ -1425,7 +1552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract-covered by knn_cosine + lsh_topk.
         "split_patches_hole": _q_split_patches_hole,
         "lsh_topk": _q_lsh_topk,
-        "connectedness": _q_connectedness,
         "habitat_patches": _q_habitat_patches,
         "voronoi_cells": _q_voronoi_cells,
     }
@@ -1478,4 +1604,5 @@ def oracle_sql() -> dict[str, str]:
         "neighbours_square": _sql_neighbours_square_duck(),
         "cover_landuse": _sql_cover_landuse_duck(),
         "patches_landuse": _sql_patches_landuse_duck(),
+        "connectedness": _sql_connectedness_duck(),
     }

@@ -17,6 +17,7 @@ Never a cross join; the shuffle key is the cell id.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -66,6 +67,75 @@ def nearest_cells(points: DataFrame, cells: DataFrame, k_ring: int = 3,
             .where(F.col("nn_rank") <= k_nearest)
             .select(point_id, F.col("cell_id").alias("nn_cell_id"),
                     "nn_rank", "dist"))
+
+
+def nearest_cells_escalating(points: DataFrame, cells: DataFrame,
+                             k_ring: int = 3, first_ring: int = 1,
+                             hex_width: float = P.HEX_WIDTH,
+                             refx: float = P.REFX, refy: float = P.REFY,
+                             point_id: str = "point_id", px: str = "lon",
+                             py: str = "lat",
+                             margin: float = 1e-6) -> DataFrame:
+    """Ring-escalation form of nearest_cells (k_nearest=1), the 100x-scale
+    path (VERDICT r03 #2): join only the (first_ring)-disk first and accept
+    a point's best candidate when it PROVABLY beats anything farther out,
+    escalating the remainder to the full k_ring disk.
+
+    The bound: centroids of cells at hex distance m sit >= m*(sqrt(3)/2)*w
+    from the point's own centroid, hence >= m*(sqrt(3)/2)*w - d0 from the
+    point itself (d0 = point-to-own-centroid distance).  With the best
+    ring<=first_ring candidate at dist < (first_ring+1)*(sqrt(3)/2)*w - d0
+    - margin, no unexplored cell can win or tie, so the stage-1 answer is
+    exact.  `margin` (default 1e-6 of a metre at w=1000) swallows double
+    rounding; marginal points just take the exact full-disk path.
+
+    For dense corpora the common case (own or adjacent cell occupied, small
+    dist) accepts at stage 1, cutting candidate fan-out from 37x to 7x per
+    point.  Costs one extra pass over `points`, so PERSIST the input — the
+    win is the fan-out term, which dominates for billions of points joined
+    against a broadcast cell set, not the (re)scan.  For small inputs the
+    flat nearest_cells / the entry's broadcast+min-struct SQL measures
+    faster (sf0.1: 2.6 s flat vs 5.3 s escalating, recomputation-bound).
+    """
+    spark = points.sparkSession
+    w = float(hex_width)
+    bound = (first_ring + 1) * (math.sqrt(3.0) / 2.0) * w - margin
+    cx, cy = sqlgen.centroid_exprs("q", "r", w, refx, refy)
+    pts = points.select(
+        point_id, px, py, "q", "r",
+        F.expr(f"SQRT(({px} - ({cx})) * ({px} - ({cx})) + "
+               f"({py} - ({cy})) * ({py} - ({cy})))").alias("__d0"))
+    occ_cx, occ_cy = sqlgen.centroid_exprs("cq", "cr", w, refx, refy)
+    occ = F.broadcast(
+        cells.select("q", "r", "cell_id").distinct()
+        .selectExpr("q AS cq", "r AS cr", "cell_id")
+        .selectExpr("cq", "cr", "cell_id",
+                    f"{occ_cx} AS __cx", f"{occ_cy} AS __cy"))
+
+    def best_in_disk(p: DataFrame, ring: int) -> DataFrame:
+        offs = F.broadcast(kring_offsets_df(spark, ring))
+        cand = (p.crossJoin(offs)
+                .join(occ, on=[F.col("cq") == F.col("q") + F.col("dq"),
+                               F.col("cr") == F.col("r") + F.col("dr")]))
+        d = F.sqrt((F.col(px) - F.col("__cx")) * (F.col(px) - F.col("__cx")) +
+                   (F.col(py) - F.col("__cy")) * (F.col(py) - F.col("__cy")))
+        return (cand.select(point_id, F.struct(d.alias("d"),
+                                               F.col("cell_id").alias("c"))
+                            .alias("__bc"))
+                .groupBy(point_id).agg(F.min("__bc").alias("b")))
+
+    b1 = best_in_disk(pts, first_ring)
+    j = pts.join(b1, on=point_id, how="left")
+    accept = F.col("b").isNotNull() & \
+        (F.col("b.d") < F.lit(bound) - F.col("__d0"))
+    acc = j.where(accept).select(
+        point_id, F.col("b.c").alias("nn_cell_id"),
+        F.lit(1).alias("nn_rank"), F.col("b.d").alias("dist"))
+    esc = j.where(~accept).select(point_id, px, py, "q", "r", "__d0")
+    b3 = best_in_disk(esc, k_ring)
+    full = b3.select(point_id, F.col("b.c").alias("nn_cell_id"),
+                     F.lit(1).alias("nn_rank"), F.col("b.d").alias("dist"))
+    return acc.unionByName(full)
 
 
 def nearest_features(points: DataFrame, patches: DataFrame, k_ring: int = 3,

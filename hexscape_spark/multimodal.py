@@ -51,17 +51,25 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError("not a P6 PPM")
     vals: list[int] = []
     i = 2
+    n = len(payload)
     while len(vals) < 3:
-        while i < len(payload) and payload[i] in b" \t\r\n":
+        while i < n and payload[i] in b" \t\r\n":
             i += 1
+        if i >= n:                               # ADVICE r03: bounds-check
+            raise ValueError("malformed PPM header")
         if payload[i:i + 1] == b"#":            # comment to end of line
-            while payload[i] not in b"\r\n":
+            while i < n and payload[i] not in b"\r\n":
                 i += 1
             continue
         j = i
-        while payload[j] not in b" \t\r\n":
+        while j < n and payload[j] not in b" \t\r\n":
             j += 1
-        vals.append(int(payload[i:j]))
+        if j == i or j >= n:
+            raise ValueError("malformed PPM header")
+        try:
+            vals.append(int(payload[i:j]))
+        except ValueError:
+            raise ValueError("malformed PPM header") from None
         i = j
     i += 1                                       # single whitespace after maxval
     w, h, maxval = vals
@@ -128,9 +136,13 @@ def resize_image(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
     out = np.empty((out_h, out_w) + rgb.shape[2:], dtype=np.float64)
     for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        # clamp into [0, h) so upscales (out_h > h) read a real source
+        # region instead of an empty slice past the end (ADVICE r03)
+        y1 = min(max(ys[i + 1], ys[i] + 1), h)
+        y0 = min(ys[i], y1 - 1)
         for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            x1 = min(max(xs[j + 1], xs[j] + 1), w)
+            x0 = min(xs[j], x1 - 1)
             out[i, j] = rgb[y0:y1, x0:x1].mean(axis=(0, 1))
     return out
 

@@ -195,12 +195,27 @@ def extract_landcover(spark: SparkSession, landcover: DataFrame,
         mask_polys = geo.wkb_to_polygons(mask_bytes)
         covered = [p for w in pdf["geom_wkb"]
                    for p in geo.wkb_to_polygons(bytes(w))]
-        gap = geo.difference_polygons(mask_polys, covered)
+        try:
+            gap = geo.difference_polygons(mask_polys, covered)
+            gap_wkb = geo.multipolygon_to_wkb(gap)
+            gap_area = geo.polygons_area(gap)
+            n_parts = len(geo.overlap_components(gap))
+        except geo.UnionTraceError:
+            # degrade like dissolve's _union_or_fallback (ADVICE r03 #1):
+            # the AREA stays exact via boolean arithmetic — gap =
+            # mask − mask∩covered — only the traced gap GEOMETRY is
+            # omitted (empty multipolygon, n_parts NULL) instead of
+            # crashing the whole extract_landcover job on one degenerate
+            # per-code boundary.
+            gap_wkb = geo.multipolygon_to_wkb([])
+            gap_area = max(0.0, geo.polygons_area(mask_polys)
+                           - geo.intersection_area(mask_polys, covered))
+            n_parts = None
         row = pd.DataFrame({
             "clc": [MISSING_CC],
-            "geom_wkb": [geo.multipolygon_to_wkb(gap)],
-            "area": [geo.polygons_area(gap)],
-            "n_parts": [len(geo.overlap_components(gap))],
+            "geom_wkb": [gap_wkb],
+            "area": [gap_area],
+            "n_parts": [n_parts],
         })
         yield pd.concat([pdf[row.columns], row], ignore_index=True)
 
