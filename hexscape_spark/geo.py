@@ -23,6 +23,7 @@ included so geometry travels between JVM and Python as BinaryType columns.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -1160,24 +1161,51 @@ def _combine_interval_lists(ia: list, ib: list, op: str) -> list:
 def _seam_edges(x: float, left, right, tol: float) -> list[tuple]:
     """Vertical boundary pieces at event x: symmetric difference of the
     left strip's and right strip's y-interval sets.  Directed with the
-    union interior on the LEFT: left-only pieces walk +y, right-only -y."""
-    pts = sorted(set([v for iv in left for v in iv] +
-                     [v for iv in right for v in iv]))
+    union interior on the LEFT: left-only pieces walk +y, right-only -y.
+
+    Vectorised (r4): interval membership via searchsorted over the
+    lo-sorted interval arrays instead of a per-midpoint Python `any` —
+    this function dominated the big-union stitch profile.  Intervals are
+    disjoint beyond ~tol by construction; the idx and idx-1 probes cover
+    tol-scale touching at seam endpoints."""
+    if not left and not right:
+        return []
+    la = np.asarray(left, dtype=np.float64).reshape(-1, 2)
+    ra = np.asarray(right, dtype=np.float64).reshape(-1, 2)
+    pts = np.unique(np.concatenate([la.ravel(), ra.ravel()]))
+    if len(pts) < 2:
+        return []
     # cluster breakpoints within tol (evaluations of the same geometric
     # point from different segments differ by ~1 ulp)
-    rep: list[float] = []
-    for p in pts:
-        if not rep or p - rep[-1] > tol:
-            rep.append(p)
+    keep = np.empty(len(pts), dtype=bool)
+    keep[0] = True
+    keep[1:] = np.diff(pts) > tol
+    rep = pts[keep]
+    if len(rep) < 2:
+        return []
+    u = rep[:-1]
+    v = rep[1:]
+    m = 0.5 * (u + v)
+
+    def member(a: np.ndarray) -> np.ndarray:
+        if len(a) == 0:
+            return np.zeros(len(m), dtype=bool)
+        a = a[np.argsort(a[:, 0], kind="stable")]
+        lo, hi = a[:, 0], a[:, 1]
+        idx = np.searchsorted(lo, m + tol, side="right") - 1
+        res = (idx >= 0) & (m <= hi[np.clip(idx, 0, len(hi) - 1)] + tol)
+        prev = idx - 1
+        res |= (prev >= 0) & (m <= hi[np.clip(prev, 0, len(hi) - 1)] + tol)
+        return res
+
+    in_l = member(la)
+    in_r = member(ra)
     out = []
-    for u, v in zip(rep, rep[1:]):
-        m = 0.5 * (u + v)
-        in_l = any(lo - tol <= m <= hi + tol for lo, hi in left)
-        in_r = any(lo - tol <= m <= hi + tol for lo, hi in right)
-        if in_l and not in_r:
-            out.append((x, u, x, v))
-        elif in_r and not in_l:
-            out.append((x, v, x, u))
+    for i in np.nonzero(in_l != in_r)[0]:
+        if in_l[i]:
+            out.append((x, u[i], x, v[i]))
+        else:
+            out.append((x, v[i], x, u[i]))
     return out
 
 
@@ -1189,9 +1217,16 @@ def _stitch_rings(edges: list[tuple], eps: float) -> list[np.ndarray]:
         return []
     nodes_xy: list[tuple[float, float]] = []
     bins: dict[tuple[int, int], list[int]] = {}
+    # bulk-quantise every endpoint once (one vectorised floor instead of
+    # 2E scalar np.floor calls — the stitch profile's hottest line, r4)
+    pts_arr = np.asarray(edges, dtype=np.float64).reshape(-1, 2)
+    qbin = np.floor(pts_arr / eps).astype(np.int64)
+    pts_list = pts_arr.tolist()
+    qbin_list = qbin.tolist()
 
-    def node_of(px: float, py: float) -> int:
-        bx, by = int(np.floor(px / eps)), int(np.floor(py / eps))
+    def node_of(pt_i: int) -> int:
+        px, py = pts_list[pt_i]
+        bx, by = qbin_list[pt_i]
         for gx in (bx - 1, bx, bx + 1):
             for gy in (by - 1, by, by + 1):
                 for ni in bins.get((gx, gy), ()):
@@ -1204,9 +1239,9 @@ def _stitch_rings(edges: list[tuple], eps: float) -> list[np.ndarray]:
         return ni
 
     a_node, b_node, out_adj = [], [], {}
-    for ei, (ax, ay, bx, by) in enumerate(edges):
-        na = node_of(ax, ay)
-        nb = node_of(bx, by)
+    for ei in range(len(edges)):
+        na = node_of(2 * ei)
+        nb = node_of(2 * ei + 1)
         a_node.append(na)
         b_node.append(nb)
         out_adj.setdefault(na, []).append(ei)
@@ -1240,8 +1275,8 @@ def _stitch_rings(edges: list[tuple], eps: float) -> list[np.ndarray]:
                 def turn(f: int) -> float:
                     dox = edges[f][2] - edges[f][0]
                     doy = edges[f][3] - edges[f][1]
-                    return float(np.arctan2(dinx * doy - diny * dox,
-                                            dinx * dox + diny * doy))
+                    return math.atan2(dinx * doy - diny * dox,
+                                      dinx * dox + diny * doy)
                 e = max(cands, key=turn)
         ring = np.array(pts, dtype=np.float64)
         # drop consecutive duplicates and collinear midpoints

@@ -182,6 +182,47 @@ def test_dissolve_adjacent_hex_patches(spark):
                                                      rel=1e-9)
 
 
+def test_dissolve_component_parallel_merge_exact_and_deterministic(spark):
+    """VERDICT r03 #4: a key routed through the COMPONENT-PARALLEL final
+    merge (each union component traced in its own task) stays EXACT, its
+    output bytes are independent of input row order / partitioning (the
+    shuffle-arrival-order hazard the canonical ordering guards), and the
+    bytes are IDENTICAL to the flat single-task merge path."""
+    from pyspark.sql import functions as F
+
+    from hexscape_spark.dissolve import dissolve
+
+    rows = []
+    # dispersed field: 200 disjoint unit squares, 3 apart (fills tiles)
+    for i in range(200):
+        x0 = float(3 * (i % 20))
+        y0 = float(3 * (i // 20) + 40.0)
+        rows.append(("T", bytearray(geo.rect_wkb(x0, y0, x0 + 1, y0 + 1))))
+    # dense cluster: 1100 unit squares sliding 0.001 apart -> one spatial
+    # tile holds >1024 features -> sub-split + tree rounds
+    for i in range(1100):
+        x0 = 10.0 + 0.001 * i
+        rows.append(("T", bytearray(geo.rect_wkb(x0, 10.0, x0 + 1, 11.0))))
+    exp_area = 200.0 + (1.0 + 1099 * 0.001)     # disjoint + sliding union
+    df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
+    # tree_bytes=1 forces the log-round path regardless of partial size
+    d = dissolve(df, tree_bytes=1).toPandas().set_index("clc").loc["T"]
+    assert d.area == pytest.approx(exp_area, rel=1e-12)
+    assert int(d.n_parts) == 201
+    polys = geo.wkb_to_polygons(bytes(d.geom_wkb))
+    assert geo.polygons_area(polys) == pytest.approx(exp_area, rel=1e-12)
+    # byte determinism under a different input order and partitioning
+    df2 = df.orderBy(F.xxhash64("geom_wkb")).repartition(3)
+    d2 = dissolve(df2, tree_bytes=1).toPandas().set_index("clc").loc["T"]
+    assert bytes(d2.geom_wkb) == bytes(d.geom_wkb)
+    assert d2.area == d.area and d2.n_parts == d.n_parts
+    # the flat path produces byte-identical output (same canonical order,
+    # same per-component unions, same concat order)
+    flat = dissolve(df).toPandas().set_index("clc").loc["T"]
+    assert bytes(flat.geom_wkb) == bytes(d.geom_wkb)
+    assert flat.area == d.area and int(flat.n_parts) == int(d.n_parts)
+
+
 def test_dissolve_simplify_keep_reduces_boundary_only(spark):
     """simplify_keep thins the dissolved boundary's vertex count while
     area/n_parts keep their exact pre-simplification values (the

@@ -132,13 +132,21 @@ def test_lsh_sketch_is_arrow_batched(spark):
 
 
 def test_dissolve_plan_is_two_level(spark):
-    """The dissolve physical plan must contain TWO grouped-map pandas
-    stages (per-(key, salt) pre-union, then the per-key final merge) so a
-    hot key's raw features never land in a single task."""
+    """The dissolve plan stays two-level: the per-(key, salt) pre-union
+    runs EAGERLY behind a localCheckpoint (so planning jobs and downstream
+    actions never re-execute the raw-feature lineage — ADVICE r03 #5), and
+    the returned plan is the per-key final merge over that checkpoint.
+    A hot key's raw features therefore never land in a single task: the
+    final grouped-map reads pre-unioned (key, salt) partials only."""
     from hexscape_spark import geo
     from hexscape_spark.dissolve import dissolve
     rows = [("A", bytearray(geo.rect_wkb(float(i), 0.0, i + 1.5, 1.0)))
             for i in range(8)]
     df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
-    plan = dissolve(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    out = dissolve(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # final merge is the only LIVE grouped-map; its input is the
+    # checkpointed level-1 result, not the raw features
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert out.count() == 1
