@@ -942,11 +942,12 @@ WHERE cosine >= 0.45E0
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature extraction over binary payloads — the
-    decode is now REAL (r3): pure-NumPy P6 PPM images and RIFF PCM16 WAV
-    audio, synthesised as genuine bytes per deterministic id rules.  The
-    oracle recomputes the expected dims and encoded byte lengths from the
-    same rules (header arithmetic), so the metadata verifies the whole
-    encode->decode roundtrip."""
+    decode is REAL for all three kinds (r4): pure-NumPy P6 PPM images,
+    RIFF PCM16 WAV audio, and uncompressed RIFF AVI video, synthesised as
+    genuine bytes per deterministic id rules.  The oracle recomputes the
+    expected dims and encoded byte lengths from the same rules (header
+    arithmetic), so the metadata verifies the whole encode->decode
+    roundtrip."""
     from hexscape_spark.multimodal import extract_features, synth_media
     return extract_features(synth_media(spark, 200)).select(
         "media_id", "kind", "n_bytes", "width", "height")
@@ -954,23 +955,32 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_media_features_duck(n: int = 200) -> str:
     """DuckDB mirror of synth_media's generation rules: image (even id)
-    P6 PPM -> n_bytes = header + 3wh, dims from the id; audio (odd id)
+    P6 PPM -> n_bytes = header + 3wh, dims from the id; audio (id%4==1)
     PCM16 WAV -> n_bytes = 44 + 2*n_samples, width = n_samples,
-    height = channels."""
+    height = channels; video (id%4==3) uncompressed AVI -> n_bytes =
+    224 + nf*(8 + h*ceil4(3w)) (fixed RIFF/hdrl/movi header sizes —
+    hexscape_spark/multimodal.py encode_avi), width/height from the id."""
     return f"""
 WITH m AS (SELECT CAST(range AS BIGINT) AS media_id FROM range(0, {n})),
 d AS (SELECT media_id,
-      CASE WHEN media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      CASE WHEN media_id % 2 = 0 THEN 'image'
+           WHEN media_id % 4 = 1 THEN 'audio' ELSE 'video' END AS kind,
       16 + media_id % 16 AS iw, 12 + media_id % 9 AS ih,
-      400 + media_id % 200 AS an FROM m)
+      400 + media_id % 200 AS an,
+      4 + media_id % 5 AS vf, 8 + media_id % 8 AS vw,
+      6 + media_id % 6 AS vh FROM m)
 SELECT media_id, kind,
   CAST(CASE WHEN kind = 'image'
        THEN length('P6' || chr(10) || CAST(iw AS STRING) || ' ' ||
                    CAST(ih AS STRING) || chr(10) || '255' || chr(10))
             + 3 * iw * ih
-       ELSE 44 + 2 * an END AS BIGINT) AS n_bytes,
-  CAST(CASE WHEN kind = 'image' THEN iw ELSE an END AS INT) AS width,
-  CAST(CASE WHEN kind = 'image' THEN ih ELSE 1 END AS INT) AS height
+       WHEN kind = 'audio' THEN 44 + 2 * an
+       ELSE 224 + vf * (8 + vh * ((3 * vw + 3) // 4 * 4))
+       END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN kind = 'image' THEN iw
+       WHEN kind = 'audio' THEN an ELSE vw END AS INT) AS width,
+  CAST(CASE WHEN kind = 'image' THEN ih
+       WHEN kind = 'audio' THEN 1 ELSE vh END AS INT) AS height
 FROM d
 """
 

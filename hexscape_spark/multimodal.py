@@ -7,16 +7,18 @@ can do exactly in pure NumPy:
   * PPM (P6) and BMP (24-bit uncompressed BITMAPINFOHEADER) image
     encode/decode — real, byte-exact, roundtrip-tested;
   * WAV (RIFF PCM16) audio encode/decode — real, roundtrip-tested;
-  * video stays a clearly-marked NotImplementedError (no container format
-    is honestly decodable without ffmpeg).
+  * AVI (RIFF, uncompressed BI_RGB 'DIB ' frames) video encode/decode —
+    real, roundtrip-tested (r4: the module's last stub closed).
 
 Feature extraction is Arrow-batched mapInPandas: images produce a 4x4
 area-averaged grayscale thumbnail (16 floats in [0,1]); audio produces 8
-per-segment RMS values + 8 rFFT log-magnitude bands.  `resize_image` is a
-real area-average resampler.  `synth_media` emits REAL PPM/WAV payloads
-from deterministic per-id rules, which is what makes the driver oracle
-possible: Spark decodes the actual bytes while DuckDB recomputes the
-expected dims and byte lengths from the same rules (header arithmetic).
+per-segment RMS values + 8 rFFT log-magnitude bands; video produces the
+temporal analogue (8 per-frame-segment gray RMS + 8 rFFT bands of the
+luminance series).  `resize_image` is a real area-average resampler.
+`synth_media` emits REAL PPM/WAV/AVI payloads from deterministic per-id
+rules, which is what makes the driver oracle possible: Spark decodes the
+actual bytes while DuckDB recomputes the expected dims and byte lengths
+from the same rules (header arithmetic).
 """
 
 from __future__ import annotations
@@ -183,6 +185,89 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     return int(rate), int(ch), data.reshape(-1, ch)
 
 
+# --- video codec -----------------------------------------------------------------
+#
+# Uncompressed RIFF AVI ('DIB ' handler, BI_RGB 24-bit): the one video
+# container honestly encodable/decodable in pure NumPy (VERDICT r03 #6 —
+# closes the module's last NotImplementedError the same way BMP/WAV did).
+# Layout (fixed-size headers, so the oracle can recompute n_bytes):
+#   RIFF(12) + LIST hdrl(8+192: avih 64 + LIST strl 12+strh 64+strf 48)
+#   + LIST movi(12 + nf*(8 + framesize)),  framesize = h * ceil4(3w)
+#   => total = 224 + nf * (8 + h * ceil4(3w))
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """RIFF AVI (uncompressed BI_RGB 24-bit 'DIB ' frames) from an
+    (nf, h, w, 3) uint8 RGB array.  Frames are stored DIB-style:
+    bottom-up rows, BGR byte order, rows padded to 4 bytes."""
+    nf, h, w, c = frames.shape
+    assert c == 3
+    rowbytes = (3 * w + 3) // 4 * 4
+    framesize = rowbytes * h
+    # MainAVIHeader: uspf, maxBps, padGran, flags, totalFrames,
+    # initFrames, streams, sugBufSize, width, height, reserved[4]
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 10**6 // fps, framesize * fps, 0, 0,
+        nf, 0, 1, framesize, w, h, 0, 0, 0, 0)
+    strh = b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB " + \
+        struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nf,
+                    framesize, 0, 0) + struct.pack("<HHHH", 0, 0, w, h)
+    strf = b"strf" + struct.pack("<IIiiHHIIiiII", 40, 40, w, h, 1, 24,
+                                 0, framesize, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + \
+        b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + \
+        b"hdrl" + avih + strl
+    body = bytearray()
+    pad = np.zeros((h, rowbytes - 3 * w), dtype=np.uint8)
+    for f in range(nf):
+        bgr = frames[f, ::-1, :, ::-1]           # bottom-up rows, BGR
+        rows = np.concatenate([bgr.reshape(h, 3 * w), pad], axis=1)
+        body += b"00db" + struct.pack("<I", framesize) + rows.tobytes()
+    movi = b"LIST" + struct.pack("<I", 4 + len(body)) + b"movi" + bytes(body)
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
+    """(fps, (nf, h, w, 3) uint8 RGB frames) from an uncompressed RIFF
+    AVI.  Bounds-checked: truncated/malformed input raises ValueError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = nf = uspf = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, i: int, end: int) -> None:
+        nonlocal w, h, nf, uspf
+        while i + 8 <= end:
+            tag = buf[i:i + 4]
+            (ln,) = struct.unpack_from("<I", buf, i + 4)
+            if i + 8 + ln > end:
+                raise ValueError("malformed AVI: chunk overruns container")
+            if tag == b"LIST":
+                walk(buf, i + 12, i + 8 + ln)
+            elif tag == b"avih":
+                if ln < 40:
+                    raise ValueError("malformed AVI: short avih")
+                vals = struct.unpack_from("<10I", buf, i + 8)
+                uspf, nf, w, h = vals[0], vals[4], vals[8], vals[9]
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(buf[i + 8:i + 8 + ln])
+            i += 8 + ln + (ln % 2)
+
+    walk(payload, 12, len(payload))
+    if w is None or not frames_raw:
+        raise ValueError("malformed AVI: missing avih or frames")
+    rowbytes = (3 * w + 3) // 4 * 4
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for f, raw in enumerate(frames_raw):
+        if len(raw) != rowbytes * h:
+            raise ValueError("malformed AVI: frame size mismatch")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, rowbytes)
+        out[f] = rows[::-1, :3 * w].reshape(h, w, 3)[:, :, ::-1]
+    fps = round(10**6 / uspf) if uspf else 0
+    return fps, out
+
+
 # --- feature extraction ---------------------------------------------------------
 
 def image_features(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -211,13 +296,31 @@ def audio_features(payload: bytes) -> tuple[int, int, np.ndarray]:
     return n, ch, feat
 
 
+def video_features(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, 16-float feature): 8 per-frame-segment RMS values
+    of gray intensity + 8 rFFT log-magnitude bands of the per-frame mean
+    luminance series — the temporal analogue of audio_features."""
+    _, frames = decode_avi(payload)
+    nf, h, w = frames.shape[:3]
+    gray = frames.astype(np.float64).mean(axis=3) / 255.0   # (nf, h, w)
+    per_frame_rms = np.sqrt((gray * gray).mean(axis=(1, 2)))
+    segs = np.array_split(per_frame_rms, 8)
+    rms = np.array([s.mean() if len(s) else 0.0 for s in segs])
+    lum = gray.mean(axis=(1, 2))
+    mag = np.abs(np.fft.rfft(lum))
+    bands = np.array([b.mean() if len(b) else 0.0
+                      for b in np.array_split(mag, 8)])
+    feat = np.concatenate([rms, np.log1p(bands)]).astype(np.float32)
+    return w, h, feat
+
+
 def extract_features(df: DataFrame, payload: str = "payload",
                      kind: str = "kind") -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 
     image -> (width, height, thumbnail); audio -> (n_samples, n_channels,
-    RMS+FFT bands); video -> NotImplementedError (STUB: honestly not
-    decodable without ffmpeg — the only remaining stub in this module).
+    RMS+FFT bands); video -> (width, height, temporal RMS+FFT bands).
+    All three decoders are REAL (pure NumPy PPM/BMP, WAV, AVI).
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -228,10 +331,11 @@ def extract_features(df: DataFrame, payload: str = "payload",
                     w, h, f = image_features(b)
                 elif k == "audio":
                     w, h, f = audio_features(b)
+                elif k == "video":
+                    w, h, f = video_features(b)
                 else:
-                    raise NotImplementedError(
-                        f"decode for media kind {k!r} requires ffmpeg-class "
-                        "dependencies not present in this container")
+                    raise ValueError(f"unknown media kind {k!r} "
+                                     "(image/audio/video)")
                 ws.append(w)
                 hs.append(h)
                 feats.append(f.tolist())
@@ -268,9 +372,24 @@ def _synth_audio(i: int) -> bytes:
     return encode_wav(s, rate=8000)
 
 
+def _synth_video(i: int) -> bytes:
+    """Real uncompressed AVI: id-keyed moving pattern."""
+    nf = 4 + i % 5
+    w = 8 + i % 8
+    h = 6 + i % 6
+    f = np.arange(nf)[:, None, None]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    r = (xx * 11 + f * 29 + i) % 256
+    g = (yy * 17 + f * 31) % 256
+    b = (xx * 7 + yy * 13 + f * 37 + i) % 256
+    frames = np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+    return encode_avi(frames, fps=10)
+
+
 def synth_media(spark, n: int) -> DataFrame:
     """Deterministic media table with REAL payloads: even ids are P6 PPM
-    images, odd ids are PCM16 WAV clips."""
+    images; ids ≡1 (mod 4) are PCM16 WAV clips; ids ≡3 (mod 4) are
+    uncompressed AVI videos."""
     ids = spark.range(n).withColumnRenamed("id", "media_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -282,9 +401,12 @@ def synth_media(spark, n: int) -> DataFrame:
                     pl = _synth_image(i)
                     rows.append((i, "image", pl,
                                  "image/x-portable-pixmap", len(pl)))
-                else:
+                elif i % 4 == 1:
                     pl = _synth_audio(i)
                     rows.append((i, "audio", pl, "audio/wav", len(pl)))
+                else:
+                    pl = _synth_video(i)
+                    rows.append((i, "video", pl, "video/avi", len(pl)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload",
                                               "mime", "n_bytes"])
 
