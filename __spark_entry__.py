@@ -87,41 +87,31 @@ def _sql_hex_neighbours() -> str:
         "JOIN cells b ON b.q = a.q + offs.dq AND b.r = a.r + offs.dr")
 
 
-def _sql_hex_kring_counts(k: int = 2) -> str:
-    """kRing-disk aggregation as an offsets equi-join (H3 grid_disk):
-    shuffle key = shifted (q, r); never an N² theta join."""
+def _sql_hex_kring_profile(disk_k: int = 2, max_k: int = 3) -> str:
+    """kRing-disk aggregation AND ego-ring profile in ONE offsets
+    equi-join (H3 grid_disk + grid_ring; the reference's ego-set
+    differencing, notebooks/network_distance.R:124-130).  Merged r4 (the
+    two r3 queries hex_kring_counts + hex_ring_counts shared the same
+    cells CTE and shifted join — one query keeps both operators
+    oracle-gated while freeing a contract slot for ivf_topk).  Shuffle
+    key = shifted (q, r); never an N² theta join."""
+    rows = [f"({dq}, {dr}, {(abs(dq) + abs(dr) + abs(dq + dr)) // 2})"
+            for dq in range(-max_k, max_k + 1)
+            for dr in range(-max_k, max_k + 1)
+            if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= max_k]
+    ring_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN shifted.ring = {k} THEN b.n ELSE 0 END) "
+        f"AS BIGINT) AS n_ring{k}" for k in range(1, max_k + 1))
     return (
         f"WITH cells AS (SELECT q, r, cell_id, COUNT(*) AS n FROM ({_docs_assign_sub()}) AS t "
         "GROUP BY q, r, cell_id), "
-        f"offs AS (SELECT * FROM (VALUES {_kring_values(k)}) AS v(dq, dr)), "
-        "shifted AS (SELECT a.cell_id, a.q + offs.dq AS q, a.r + offs.dr AS r "
+        f"offs AS (SELECT * FROM (VALUES {', '.join(rows)}) AS v(dq, dr, ring)), "
+        "shifted AS (SELECT a.cell_id, a.q + offs.dq AS q, a.r + offs.dr AS r, offs.ring AS ring "
         " FROM cells a JOIN offs ON 1=1) "
         "SELECT shifted.cell_id AS cell_id, "
-        "CAST(SUM(b.n) AS BIGINT) AS n_in_disk, "
-        "COUNT(*) AS cells_in_disk "
-        "FROM shifted JOIN cells b ON b.q = shifted.q AND b.r = shifted.r "
-        "GROUP BY shifted.cell_id")
-
-
-def _sql_hex_ring_counts(max_k: int = 3) -> str:
-    """Ego-ring profile: per occupied cell, doc counts at EXACT hex
-    distance 1..max_k (grid_ring = disk(k) − disk(k−1), the reference's
-    ego-set differencing, notebooks/network_distance.R:124-130)."""
-    rows = [f"({dq}, {dr})" for dq in range(-max_k, max_k + 1)
-            for dr in range(-max_k, max_k + 1)
-            if 0 < (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= max_k]
-    ring_of = ("CAST((ABS(offs.dq) + ABS(offs.dr) + ABS(offs.dq + offs.dr)) "
-               "/ 2 AS BIGINT)")
-    cols = ", ".join(
-        f"CAST(SUM(CASE WHEN ring = {k} THEN n ELSE 0 END) AS BIGINT) AS n_ring{k}"
-        for k in range(1, max_k + 1))
-    return (
-        f"WITH cells AS (SELECT q, r, cell_id, COUNT(*) AS n FROM ({_docs_assign_sub()}) AS t "
-        "GROUP BY q, r, cell_id), "
-        f"offs AS (SELECT * FROM (VALUES {', '.join(rows)}) AS v(dq, dr)), "
-        f"shifted AS (SELECT a.cell_id, a.q + offs.dq AS q, a.r + offs.dr AS r, "
-        f"{ring_of} AS ring FROM cells a JOIN offs ON 1=1) "
-        f"SELECT shifted.cell_id AS cell_id, {cols} "
+        f"CAST(SUM(CASE WHEN shifted.ring <= {disk_k} THEN b.n ELSE 0 END) AS BIGINT) AS n_in_disk, "
+        f"CAST(SUM(CASE WHEN shifted.ring <= {disk_k} THEN 1 ELSE 0 END) AS BIGINT) AS cells_in_disk, "
+        f"{ring_cols} "
         "FROM shifted JOIN cells b ON b.q = shifted.q AND b.r = shifted.r "
         "GROUP BY shifted.cell_id")
 
@@ -867,10 +857,40 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path (rows-only; recall/exactness pytest-verified)."""
+    """IVF ANN — ORACLE-GATED (r4, VERDICT stretch #8) via the exhaustive
+    probe identity: with nprobe == n_lists every list is probed, so the
+    whole IVF machinery (k-means quantizer, list routing, per-list
+    equi-join, rank) must reproduce the exact brute-force top-k the
+    DuckDB oracle computes independently.  Ranking rounds the cosine to
+    6 dp first (rank_round) so the two engines' last-ulp summation
+    differences can't flip near-ties; recall at nprobe < n_lists stays
+    pytest-verified (test_ivf_recall_and_exactness)."""
     _views(spark, sf_dir)
     from hexscape_spark.similarity import cosine_topk_ivf
-    return cosine_topk_ivf(spark.table("embeddings"), n_lists=8, nprobe=2)
+    e = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+        .alias("embedding"))
+    out = cosine_topk_ivf(e, n_lists=8, nprobe=8, rank_round=6)
+    return out.select("query_id", "nn_id", "rank",
+                      F.round("cosine", 6).alias("cos_r"))
+
+
+_SQL_IVF_TOPK = """
+SELECT query_id, nn_id, rank, cos_r FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id) t
+WHERE rank <= 5
+"""
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,8 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cell_counts": _sqlq(_sql_hex_cell_counts),
         "hex_cell_lang_mode": _sqlq(_sql_hex_cell_lang_mode),
         "hex_neighbours": _sqlq(_sql_hex_neighbours),
-        "hex_kring_counts": _sqlq(_sql_hex_kring_counts),
-        "hex_ring_counts": _sqlq(_sql_hex_ring_counts),
+        "hex_kring_profile": _sqlq(_sql_hex_kring_profile),
         "raster_to_hex": _sqlq(_sql_raster_to_hex),
         "hex_lattice_square": _sqlq(_sql_hex_lattice_square_spark),
         "events_hex_rollup": _sqlq(_sql_events_hex_rollup),
@@ -1549,17 +1568,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
         "streaming_cell_rollup": _q_streaming_cell_rollup,
+        "ivf_topk": _q_ivf_topk,
         "media_features": _q_media_features,
         "dissolve_layers": _q_dissolve_layers,
         "neighbours_square": _q_neighbours_square,
         "cover_landuse": _q_cover_landuse,
         "patches_landuse": _q_patches_landuse,
         "connectedness": _q_connectedness,
-        # geometry kernel (pytest-verified; rows-only check here).  NOTE
-        # the 50-entry driver cap: ivf_topk's slot went to
-        # split_patches_hole in r3 — cosine_topk_ivf stays fully
-        # pytest-verified (test_ivf_recall_and_exactness) and ANN remains
-        # contract-covered by knn_cosine + lsh_topk.
+        # geometry kernel / ANN (pytest-verified; rows-only check here).
+        # The 50-entry driver cap holds: r4 merged hex_kring_counts +
+        # hex_ring_counts into hex_kring_profile, and the freed slot
+        # brought ivf_topk back ORACLE-GATED (exhaustive-probe identity),
+        # so all three ANN variants are contract-visible.
         "split_patches_hole": _q_split_patches_hole,
         "lsh_topk": _q_lsh_topk,
         "habitat_patches": _q_habitat_patches,
@@ -1573,8 +1593,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_cell_counts": _sql_hex_cell_counts(),
         "hex_cell_lang_mode": _sql_hex_cell_lang_mode(),
         "hex_neighbours": _sql_hex_neighbours(),
-        "hex_kring_counts": _sql_hex_kring_counts(),
-        "hex_ring_counts": _sql_hex_ring_counts(),
+        "hex_kring_profile": _sql_hex_kring_profile(),
         "raster_to_hex": _sql_raster_to_hex(),
         "hex_lattice_square": _sql_hex_lattice_square_duck(),
         "events_hex_rollup": _sql_events_hex_rollup(),
@@ -1609,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _sql_ngram_jaccard_duck(),
         "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
         "streaming_cell_rollup": _sql_streaming_cell_rollup_duck(),
+        "ivf_topk": _SQL_IVF_TOPK,
         "media_features": _sql_media_features_duck(),
         "dissolve_layers": _sql_dissolve_layers_duck(),
         "neighbours_square": _sql_neighbours_square_duck(),

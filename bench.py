@@ -25,7 +25,7 @@ BENCH_QUERIES = [
     "hex_cell_counts",
     "hex_cell_lang_mode",
     "hex_neighbours",
-    "hex_kring_counts",
+    "hex_kring_profile",
     "hex_nearest_cell",
     "events_hex_rollup",
     "salted_cell_counts",

@@ -154,11 +154,19 @@ def with_ivf_list(df: DataFrame, centroids: list[list[float]],
 def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
                     vec: str = "embedding", k: int = 5, n_lists: int = 16,
                     nprobe: int = 2, dim: int = 64,
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42,
+                    rank_round: int | None = None) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid (1 list), queries probe
     their nprobe nearest lists; candidate generation is an equi-join on
     list id — the classic inverted-file layout, shuffle-partitioned by
-    list.  Recall grows with nprobe; exact within probed lists."""
+    list.  Recall grows with nprobe; exact within probed lists.
+
+    `rank_round` ranks by ROUND(cosine, rank_round) (ties broken by id)
+    instead of the full-precision cosine — the cross-engine determinism
+    device the contract query needs: with nprobe == n_lists every list is
+    probed, so the result must equal the exact brute-force top-k, and
+    rounding before ranking makes that equality reproducible against an
+    oracle whose float summation order differs in the last ulp."""
     cents = ivf_train_centroids(df, vec, n_lists, dim, seed)
     u = with_unit_norm(df, vec)
     corpus = with_ivf_list(u, cents, nprobe=1).select(
@@ -173,7 +181,10 @@ def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
               .where(F.col("query_id") != F.col("nn_id"))
               .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
               .select("query_id", "nn_id", "cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    rank_key = F.col("cosine") if rank_round is None \
+        else F.round("cosine", rank_round)
+    w = Window.partitionBy("query_id").orderBy(F.desc(rank_key),
+                                               F.asc("nn_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 

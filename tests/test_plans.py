@@ -63,9 +63,9 @@ def test_dimension_joins_broadcast(spark):
 
 def test_kring_join_is_equi_not_nested_loop(spark):
     """The kRing disk aggregation must never be a nested-loop theta join."""
-    df = m.queries()["hex_kring_counts"](spark, SF)
+    df = m.queries()["hex_kring_profile"](spark, SF)
     plan = _plan(df)
-    # the 19-row offsets VALUES cross join is the only acceptable
+    # the 37-row offsets VALUES cross join is the only acceptable
     # nested-loop; the cells-to-cells join must be hash-based
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
