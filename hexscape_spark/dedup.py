@@ -351,3 +351,47 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
     return (j.withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
+
+
+def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
+                   a: str = "id_a", b: str = "id_b",
+                   quality: str | None = None) -> DataFrame:
+    """Duplicate-FAMILY clustering: the pipeline stage after pair
+    generation (minhash_lsh_pairs / ngram_jaccard_pairs /
+    embedding_near_dup_pairs all emit (id_a, id_b)) in a C4/RefinedWeb-
+    style corpus dedup — near-duplication is transitive in effect (A~B,
+    B~C => one family), so pairs must be clustered before dropping.
+
+    Connected components over the pair graph (graph.connected_components:
+    O(log n) equi-join rounds) give every document a `family_id` (its own
+    id when unpaired) and `family_size`; exactly one row per family is
+    flagged `is_canonical` — the max-`quality` member (ties and the
+    default: min key), the keep-one rule production pipelines apply.
+
+    Scale shape: one left equi-join of the corpus against the component
+    map (pairs are sparse — the map is far smaller than the corpus), one
+    window over family_id.  No driver materialisation.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, a=a, b=b) \
+        .withColumnRenamed("node", key)
+    fam = (df.join(comp, on=key, how="left")
+           .withColumn("family_id", F.coalesce("comp", F.col(key)))
+           .drop("comp"))
+    order = [F.asc(key)] if quality is None \
+        else [F.desc(quality), F.asc(key)]
+    w = Window.partitionBy("family_id").orderBy(*order)
+    cnt = Window.partitionBy("family_id")
+    return (fam.withColumn("is_canonical", F.row_number().over(w) == 1)
+            .withColumn("family_size", F.count(F.lit(1)).over(cnt)))
+
+
+def dedup_canonical(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
+                    a: str = "id_a", b: str = "id_b",
+                    quality: str | None = None) -> DataFrame:
+    """The deduplicated corpus: one canonical document per duplicate
+    family (see dedup_families), original columns preserved."""
+    return (dedup_families(df, pairs, key=key, a=a, b=b, quality=quality)
+            .where(F.col("is_canonical"))
+            .drop("is_canonical", "family_id", "family_size"))

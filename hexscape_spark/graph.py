@@ -71,3 +71,54 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 32,
         frontier = nxt
     e.unpersist()
     return visited
+
+
+def connected_components(edges: DataFrame, a: str = "src", b: str = "dst",
+                         nodes: DataFrame | None = None,
+                         max_rounds: int = 64) -> DataFrame:
+    """Distributed connected components over an arbitrary edge list
+    (BIGINT node ids) -> (node, comp) where comp is the component's
+    minimum node id.
+
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its own and its neighbours' labels, then labels
+    short-circuit through one label-of-label join — O(log diameter)
+    rounds of pure equi-joins, each localCheckpointed so round k never
+    replays rounds 1..k-1.  This is the generic form of
+    habitat.grid_components (which now delegates here) and the clustering
+    step of dedup.dedup_families (the C4/RefinedWeb-style "one canonical
+    document per duplicate family" pipeline stage).
+
+    `nodes` optionally supplies isolated vertices (single-column `node`);
+    by default the vertex set is the ids appearing in `edges`.
+    """
+    if nodes is None:
+        nodes = (edges.select(F.col(a).alias("node"))
+                 .unionByName(edges.select(F.col(b).alias("node"))))
+    nodes = nodes.select("node").distinct().localCheckpoint(eager=True)
+    sym = edges.select(F.col(a).alias("node"), F.col(b).alias("nbr"))
+    sym = sym.unionByName(
+        sym.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))) \
+        .distinct().localCheckpoint(eager=True)
+    lab = nodes.select("node", F.col("node").alias("lab")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (sym.join(lab.withColumnRenamed("node", "nbr"), on="nbr")
+                   .groupBy("node").agg(F.min("lab").alias("nlab")))
+        new = (lab.join(nbr_min, on="node", how="left")
+               .select("node", F.least("lab", F.coalesce("nlab", "lab"))
+                       .alias("lab")))
+        # pointer jump: lab <- lab(lab)
+        jump = lab.select(F.col("node").alias("lab"),
+                          F.col("lab").alias("lab2"))
+        new = (new.join(jump, on="lab", how="left")
+               .select("node", F.least("lab", F.coalesce("lab2", "lab"))
+                       .alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = (new.withColumnRenamed("lab", "new_lab")
+                   .join(lab, on="node")
+                   .where(F.col("new_lab") != F.col("lab")).count())
+        lab = new
+        if changed == 0:
+            break
+    return lab.select("node", F.col("lab").alias("comp"))

@@ -67,15 +67,14 @@ def bandwidth_nrd(x: np.ndarray) -> float:
 
 
 def grid_components(cells: DataFrame, max_rounds: int = 64) -> DataFrame:
-    """Distributed connected components of raster cells under 4-adjacency.
+    """Distributed connected components of raster cells under 4-adjacency:
+    node-key the grid, build the (dx,dy) in {(1,0),(0,1)} adjacency as
+    equi-joins, and delegate to graph.connected_components (min-label
+    propagation + pointer jumping, O(log diameter) equi-join rounds, no
+    driver materialisation).  Returns (ix, iy, comp) where comp is the
+    component's minimum node key."""
+    from .graph import connected_components
 
-    Min-label propagation with pointer jumping: each round every cell takes
-    the min of its own label and its neighbours' labels, then labels are
-    short-circuited through one label-of-label join — O(log diameter)
-    rounds of pure equi-joins (no driver materialisation; the
-    graph.bfs_hops iterative pattern).  Returns (ix, iy, comp) where comp
-    is the component's minimum node key.
-    """
     # collision-free node key: (iy << 32) | lower-32-of-ix — safe for any
     # raster up to 2^32 columns incl. negative indices (ADVICE r02: the old
     # iy*1e6+ix packing silently merged components past 10^6 columns)
@@ -92,32 +91,11 @@ def grid_components(cells: DataFrame, max_rounds: int = 64) -> DataFrame:
                    (F.col("iy") + dy == F.col("jy")))
             .select("node", "nbr"))
     edges = e[0].unionByName(e[1])
-    edges = edges.unionByName(
-        edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))) \
-        .localCheckpoint(eager=True)
-    lab = nodes.select("node", F.col("node").alias("lab")) \
-        .localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        nbr_min = (edges.join(lab.withColumnRenamed("node", "nbr"), on="nbr")
-                   .groupBy("node").agg(F.min("lab").alias("nlab")))
-        new = (lab.join(nbr_min, on="node", how="left")
-               .select("node", F.least("lab", F.coalesce("nlab", "lab"))
-                       .alias("lab")))
-        # pointer jump: lab <- lab(lab)
-        jump = lab.select(F.col("node").alias("lab"),
-                          F.col("lab").alias("lab2"))
-        new = (new.join(jump, on="lab", how="left")
-               .select("node", F.least("lab", F.coalesce("lab2", "lab"))
-                       .alias("lab"))
-               .localCheckpoint(eager=True))
-        changed = (new.withColumnRenamed("lab", "new_lab")
-                   .join(lab, on="node")
-                   .where(F.col("new_lab") != F.col("lab")).count())
-        lab = new
-        if changed == 0:
-            break
+    lab = connected_components(edges, a="node", b="nbr",
+                               nodes=nodes.select("node"),
+                               max_rounds=max_rounds)
     return (nodes.join(lab, on="node")
-            .select("ix", "iy", F.col("lab").alias("comp")))
+            .select("ix", "iy", "comp"))
 
 
 def habitat_points(habitat: DataFrame, point_density_per_km2: float,

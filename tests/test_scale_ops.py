@@ -550,3 +550,84 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     n_distinct = batch["__h"].nunique()
     assert len(got) == n_distinct
     assert got.text.map(hash).nunique() == n_distinct
+
+
+def test_connected_components_matches_unionfind(spark):
+    """graph.connected_components == classic union-find on a random sparse
+    graph with isolated vertices (the generic CC all dedup clustering and
+    grid_components now ride on)."""
+    import numpy as np
+    from hexscape_spark.graph import connected_components
+    rng = np.random.RandomState(13)
+    n = 120
+    edges = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(90)]
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ndf = spark.range(n).selectExpr("id AS node")
+    got = {r.node: r.comp
+           for r in connected_components(edf, nodes=ndf).collect()}
+    assert set(got) == set(range(n))            # isolated nodes included
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    want_groups, got_groups = {}, {}
+    for v in range(n):
+        want_groups.setdefault(find(v), set()).add(v)
+        got_groups.setdefault(got[v], set()).add(v)
+    assert sorted(map(sorted, want_groups.values())) == \
+        sorted(map(sorted, got_groups.values()))
+    # comp label = component minimum (canonical-representative contract)
+    for c, members in got_groups.items():
+        assert c == min(members)
+
+
+def test_dedup_families_transitive_and_canonical(spark):
+    """dedup_families: near-dup pairs cluster TRANSITIVELY (A~B, B~C ->
+    one family of 3), unpaired docs are their own singleton family,
+    exactly one canonical per family (max quality, tie -> min id), and
+    dedup_canonical keeps exactly one row per family."""
+    from pyspark.sql import functions as F2
+
+    from hexscape_spark.dedup import dedup_canonical, dedup_families
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", float(i % 7)) for i in range(20)],
+        "doc_id LONG, text STRING, q DOUBLE")
+    # chain 0-1-2 (transitive), pair 5-6, pair 10-17; rest unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 17)], "id_a LONG, id_b LONG")
+    fam = dedup_families(docs, pairs, quality="q").toPandas() \
+        .set_index("doc_id").sort_index()
+    assert fam.loc[[0, 1, 2], "family_id"].nunique() == 1
+    assert (fam.loc[[0, 1, 2], "family_size"] == 3).all()
+    assert fam.loc[[5, 6], "family_id"].nunique() == 1
+    # canonical = max quality within family: q = id % 7 -> family {0,1,2}
+    # keeps 2, {5,6} keeps 6, {10,17} has q 3 for both -> min id 10
+    assert list(fam[fam.is_canonical].index) == \
+        sorted([2, 6, 10] + [i for i in range(20)
+                             if i not in (0, 1, 2, 5, 6, 10, 17)])
+    singles = fam.drop(index=[0, 1, 2, 5, 6, 10, 17])
+    assert (singles["family_id"] == singles.index).all()
+    assert (singles["family_size"] == 1).all()
+    kept = dedup_canonical(docs, pairs, quality="q").toPandas()
+    assert len(kept) == 20 - 4                  # 20 docs - 4 dropped dupes
+    assert set(kept.columns) == {"doc_id", "text", "q"}
+    # end-to-end: LSH pair generation feeds family clustering
+    from hexscape_spark.dedup import minhash_lsh_pairs
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    lsh_pairs = minhash_lsh_pairs(corpus).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    fam2 = dedup_families(corpus, lsh_pairs)
+    n_docs = corpus.count()
+    n_fams = fam2.select("family_id").distinct().count()
+    n_canon = fam2.where("is_canonical").count()
+    assert n_canon == n_fams <= n_docs
+    assert fam2.count() == n_docs
