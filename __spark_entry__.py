@@ -871,7 +871,8 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
         .alias("embedding"))
-    out = cosine_topk_ivf(e, n_lists=8, nprobe=8, rank_round=6)
+    out = cosine_topk_ivf(e, n_lists=8, nprobe=8, rank_round=6,
+                          queries=e.where("vec_id < 100"))
     return out.select("query_id", "nn_id", "rank",
                       F.round("cosine", 6).alias("cos_r"))
 
@@ -888,7 +889,8 @@ SELECT query_id, nn_id, rank, cos_r FROM (
                / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
                     c.vec_id ASC) AS rank
-  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id) t
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 100) t
 WHERE rank <= 5
 """
 

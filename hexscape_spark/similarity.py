@@ -155,7 +155,8 @@ def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
                     vec: str = "embedding", k: int = 5, n_lists: int = 16,
                     nprobe: int = 2, dim: int = 64,
                     seed: int = 42,
-                    rank_round: int | None = None) -> DataFrame:
+                    rank_round: int | None = None,
+                    queries: DataFrame | None = None) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid (1 list), queries probe
     their nprobe nearest lists; candidate generation is an equi-join on
     list id — the classic inverted-file layout, shuffle-partitioned by
@@ -166,14 +167,19 @@ def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
     device the contract query needs: with nprobe == n_lists every list is
     probed, so the result must equal the exact brute-force top-k, and
     rounding before ranking makes that equality reproducible against an
-    oracle whose float summation order differs in the last ulp."""
+    oracle whose float summation order differs in the last ulp.
+
+    `queries` optionally restricts the query side (same schema as `df`;
+    default: every corpus row queries) — the corpus is always `df`, like
+    cosine_topk_bruteforce's (df, queries) contract."""
     cents = ivf_train_centroids(df, vec, n_lists, dim, seed)
     u = with_unit_norm(df, vec)
     corpus = with_ivf_list(u, cents, nprobe=1).select(
         F.col(key).alias("nn_id"), F.col("unit_vec").alias("cv"),
         F.element_at("ivf_list", 1).alias("list_id")) \
         .repartition(F.col("list_id"))     # barrier + join-key pre-shuffle
-    queries = with_ivf_list(u, cents, nprobe=nprobe).select(
+    qsrc = u if queries is None else with_unit_norm(queries, vec)
+    queries = with_ivf_list(qsrc, cents, nprobe=nprobe).select(
         F.col(key).alias("query_id"), F.col("unit_vec").alias("qv"),
         F.explode("ivf_list").alias("list_id")) \
         .repartition(F.col("list_id"))
