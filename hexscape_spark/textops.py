@@ -131,3 +131,95 @@ def with_winnowing(df: DataFrame, text: str = "text", k: int = 5,
         return pd.Series([winnow_text(t or "", k, window) for t in texts])
 
     return df.withColumn(out, fp(F.col(text)))
+
+
+def with_repetition_signals(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    all pure JVM expressions — no Python in the hot path:
+
+      * dup_line_frac     — fraction of lines that repeat an earlier line
+      * dup_line_char_frac— fraction of characters inside repeated lines
+      * top_word_frac     — share of tokens taken by the most common word
+      * dup_2gram_frac    — fraction of word 2-gram occurrences that are
+                            repeats of an earlier identical 2-gram
+
+    Production pipelines drop documents past thresholds on these (e.g.
+    dup_line_frac > 0.30, top_word_frac > 0.20); with_quality_filter
+    applies the standard cut.  Everything is arrays + higher-order
+    functions over one split — map-only, no shuffle.  top_word_frac is
+    O(distinct_words x words) per row (fine for document-sized rows; a
+    corpus of degenerate multi-MB rows would instead explode+groupBy —
+    one shuffle — which the map-only form deliberately avoids).
+    """
+    t = F.col(text)
+    lines = F.split(t, "\n")
+    words = F.expr(
+        f"filter(split(lower({text}), '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+        "w -> w != '')")
+    dist_lines = F.array_distinct(lines)
+    df = df.withColumn("__lines", lines).withColumn("__words", words)
+    nl = F.greatest(F.size("__lines"), F.lit(1))
+    df = df.withColumn(
+        "dup_line_frac",
+        (F.size("__lines") - F.size(F.array_distinct("__lines"))) / nl)
+    # characters inside lines that are duplicates of an earlier line:
+    # total chars of all lines minus chars of the distinct set
+    tot_chars = F.expr(
+        "aggregate(__lines, 0L, (a, l) -> a + length(l))")
+    dist_chars = F.expr(
+        "aggregate(array_distinct(__lines), 0L, (a, l) -> a + length(l))")
+    df = df.withColumn(
+        "dup_line_char_frac",
+        (tot_chars - dist_chars) / F.greatest(tot_chars, F.lit(1)))
+    nw = F.greatest(F.size("__words"), F.lit(1))
+    # most-common-word share: max over distinct words of its count
+    top = F.expr(
+        "aggregate(transform(array_distinct(__words), "
+        " w -> size(filter(__words, x -> x = w))), 0, (a, c) -> "
+        " greatest(a, c))")
+    df = df.withColumn("top_word_frac", top / nw)
+    # word 2-grams: zip consecutive words
+    grams = F.expr(
+        "transform(slice(__words, 1, greatest(size(__words) - 1, 0)), "
+        "(w, i) -> concat(w, ' ', element_at(__words, i + 2)))")
+    df = df.withColumn("__grams", grams)
+    ng = F.greatest(F.size("__grams"), F.lit(1))
+    df = df.withColumn(
+        "dup_2gram_frac",
+        (F.size("__grams") - F.size(F.array_distinct("__grams"))) / ng)
+    return df.drop("__lines", "__words", "__grams")
+
+
+def with_quality_filter(df: DataFrame, text: str = "text",
+                        max_dup_line_frac: float = 0.30,
+                        max_top_word_frac: float = 0.20,
+                        max_dup_2gram_frac: float = 0.20) -> DataFrame:
+    """The standard Gopher repetition cut: keep documents under all three
+    repetition thresholds.  Signal columns are retained for auditing."""
+    df = with_repetition_signals(df, text)
+    return df.where(
+        (F.col("dup_line_frac") <= max_dup_line_frac) &
+        (F.col("top_word_frac") <= max_top_word_frac) &
+        (F.col("dup_2gram_frac") <= max_dup_2gram_frac))
+
+
+def stratified_sample_deterministic(df: DataFrame, rates: dict[str, float],
+                                    key: str = "doc_id",
+                                    stratum: str = "source",
+                                    default_rate: float = 0.0,
+                                    salt: int = 0) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing stage of a
+    training-data pipeline (e.g. upweight curated sources, downsample
+    boilerplate crawl).  A document is kept iff
+    pmod(xxhash64(key, salt), 1e6) < rate(stratum) * 1e6: membership is a
+    pure function of (key, salt), so reruns, resumed jobs, and different
+    partitionings select the SAME rows (unlike df.sample, whose output
+    depends on partition layout).  Map-only; the rates table broadcasts.
+    """
+    spark = df.sparkSession
+    rows = [(k, float(v)) for k, v in sorted(rates.items())]
+    rdf = spark.createDataFrame(rows, f"{stratum} STRING, __rate DOUBLE")
+    out = (df.join(F.broadcast(rdf), on=stratum, how="left")
+           .withColumn("__rate", F.coalesce("__rate", F.lit(default_rate))))
+    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(1_000_000))
+    return out.where(bucket < F.col("__rate") * 1_000_000).drop("__rate")

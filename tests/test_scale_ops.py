@@ -631,3 +631,61 @@ def test_dedup_families_transitive_and_canonical(spark):
     n_canon = fam2.where("is_canonical").count()
     assert n_canon == n_fams <= n_docs
     assert fam2.count() == n_docs
+
+
+def test_repetition_signals_known_values(spark):
+    """Gopher repetition signals computed on hand-checkable documents."""
+    from hexscape_spark.textops import (with_quality_filter,
+                                        with_repetition_signals)
+    docs = spark.createDataFrame(
+        [(0, "alpha\nbravo\ncharlie\ndelta\necho\nfox"),  # all distinct
+         (1, "x\nx\nx\ny"),                       # 2 dup lines of 4
+         (2, "spam spam spam spam ham"),          # top word 4/5
+         (3, "one two one two one two")],         # 2-grams repeat
+        "doc_id LONG, text STRING")
+    got = with_repetition_signals(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "dup_line_frac"] == 0.0
+    assert got.loc[0, "top_word_frac"] == pytest.approx(1 / 6)
+    assert got.loc[1, "dup_line_frac"] == pytest.approx(2 / 4)
+    # doc1: chars in lines = 4, distinct = 2 -> dup chars 2/4
+    assert got.loc[1, "dup_line_char_frac"] == pytest.approx(2 / 4)
+    assert got.loc[2, "top_word_frac"] == pytest.approx(4 / 5)
+    # doc3 grams: [one two, two one, one two, two one, one two] ->
+    # 5 grams, 2 distinct -> dup fraction 3/5
+    assert got.loc[3, "dup_2gram_frac"] == pytest.approx(3 / 5)
+    kept = with_quality_filter(docs).toPandas()
+    assert list(kept.doc_id) == [0]               # only the clean doc
+    # real corpus: signals finite, filter keeps a majority
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    sig = with_repetition_signals(corpus).toPandas()
+    for c in ("dup_line_frac", "dup_line_char_frac", "top_word_frac",
+              "dup_2gram_frac"):
+        assert ((sig[c] >= 0) & (sig[c] <= 1)).all(), c
+
+
+def test_stratified_sample_deterministic(spark):
+    """Hash-based stratified sampling: per-stratum rates hit within
+    tolerance, membership independent of partitioning, and default rate
+    applies to unlisted strata."""
+    from pyspark.sql import functions as F2
+
+    from hexscape_spark.textops import stratified_sample_deterministic
+    df = spark.range(20000).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat(F2.lit("s"), F2.pmod("id", F2.lit(4)).cast("string"))
+        .alias("source"))
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.1}     # s3 -> default 0.0
+    out = stratified_sample_deterministic(df, rates).toPandas()
+    by = out.groupby("source").size()
+    assert by.get("s0", 0) == 5000
+    assert abs(by.get("s1", 0) - 2500) < 200
+    assert abs(by.get("s2", 0) - 500) < 90
+    assert by.get("s3", 0) == 0
+    # repartitioning must not change the selected set
+    out2 = stratified_sample_deterministic(
+        df.repartition(17), rates).toPandas()
+    assert set(out2.doc_id) == set(out.doc_id)
+    # a different salt selects a different (same-sized-ish) set
+    out3 = stratified_sample_deterministic(df, rates, salt=9).toPandas()
+    assert set(out3.doc_id) != set(out.doc_id)
