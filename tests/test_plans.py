@@ -150,3 +150,17 @@ def test_dissolve_plan_is_two_level(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     assert out.count() == 1
+
+
+def test_nearest_cell_plan_broadcast_minstruct(spark):
+    """The J8 nearest join plan contract (r4): the expanded occupied-cell
+    side is BROADCAST (one hash probe per event — never a sort-merge
+    shuffle of the big side), the per-event best is a MIN(struct)
+    aggregate with a map-side partial (shuffle = one row per event), and
+    there is NO window sort of the candidate fan-out."""
+    df = m.queries()["hex_nearest_cell"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
