@@ -847,13 +847,63 @@ FROM bnd x JOIN bnd y ON x.bb = y.bb AND x.bk = y.bk AND x.doc_id < y.doc_id
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane LSH ANN (rows-only; recall pytest-verified):
+    """Multi-table hyperplane LSH ANN — ORACLE-GATED (r4): the sign
+    sketch is pure arithmetic on LCG hyperplane literals
+    (similarity._hyperplane), so the DuckDB oracle reproduces the ENTIRE
+    pipeline independently — per-table buckets from sign dots,
+    OR-construction candidate pairs, exact-cosine rank (rounded to 6 dp
+    on both sides so last-ulp summation order can't flip near-ties).
     planes=10 -> 1024 buckets/table keeps candidates sparse; 4
     OR-construction tables restore the recall a single selective table
-    would lose."""
+    would lose.  Recall-vs-bruteforce stays pytest-verified."""
     _views(spark, sf_dir)
     from hexscape_spark.similarity import cosine_topk_lsh
-    return cosine_topk_lsh(spark.table("embeddings"), planes=10, tables=4)
+    e = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+        .alias("embedding"))
+    out = cosine_topk_lsh(e, planes=10, tables=4, rank_round=6)
+    return out.select("query_id", "nn_id", "rank",
+                      F.round("cosine", 6).alias("cos_r"))
+
+
+def _sql_lsh_topk_duck(planes: int = 10, tables: int = 4, dim: int = 64,
+                       k: int = 5) -> str:
+    """DuckDB mirror of cosine_topk_lsh: the hyperplanes are deterministic
+    LCG literals, so the bucket of a vector is SUM(2^p for planes whose
+    dot is positive) — the same integer Spark's numpy sign-sketch packs.
+    Candidates = same-bucket pairs in ANY table; rank = rounded cosine."""
+    from hexscape_spark.similarity import _hyperplane
+    buckets = []
+    for t in range(tables):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"[{', '.join(repr(v) for v in _hyperplane(dim, t * 997 + p))}"
+            f"]::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes))
+        buckets.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS h FROM embeddings")
+    bsql = " UNION ALL ".join(buckets)
+    cos = ("list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
+           " / (sqrt(list_dot_product(q.embedding::DOUBLE[],"
+           " q.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(n.embedding::DOUBLE[],"
+           " n.embedding::DOUBLE[])))")
+    return f"""
+WITH buckets AS ({bsql}),
+cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS nn_id
+         FROM buckets a JOIN buckets b
+           ON a.tbl = b.tbl AND a.h = b.h AND a.vec_id <> b.vec_id),
+scored AS (SELECT c.query_id, c.nn_id, ROUND({cos}, 6) AS cos_r
+           FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+                       JOIN embeddings n ON n.vec_id = c.nn_id)
+SELECT query_id, nn_id, rank, cos_r FROM (
+  SELECT query_id, nn_id, cos_r,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_r DESC, nn_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k}
+"""
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1582,19 +1632,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "streaming_cell_rollup": _q_streaming_cell_rollup,
         "ivf_topk": _q_ivf_topk,
+        "lsh_topk": _q_lsh_topk,
         "media_features": _q_media_features,
         "dissolve_layers": _q_dissolve_layers,
         "neighbours_square": _q_neighbours_square,
         "cover_landuse": _q_cover_landuse,
         "patches_landuse": _q_patches_landuse,
         "connectedness": _q_connectedness,
-        # geometry kernel / ANN (pytest-verified; rows-only check here).
-        # The 50-entry driver cap holds: r4 merged hex_kring_counts +
-        # hex_ring_counts into hex_kring_profile, and the freed slot
-        # brought ivf_topk back ORACLE-GATED (exhaustive-probe identity),
-        # so all three ANN variants are contract-visible.
+        # geometry kernel (pytest-verified; rows-only check here) —
+        # only the queries whose values genuinely need the NumPy
+        # geometry/iterative kernels remain rows-only.  The 50-entry
+        # driver cap holds: r4 merged hex_kring_counts + hex_ring_counts
+        # into hex_kring_profile; ivf_topk returned ORACLE-GATED
+        # (exhaustive-probe identity) and lsh_topk flipped to an exact
+        # oracle too (LCG hyperplane sketch reproduced in SQL) — all
+        # three ANN variants are contract-visible, 47/50 oracle-gated.
         "split_patches_hole": _q_split_patches_hole,
-        "lsh_topk": _q_lsh_topk,
         "habitat_patches": _q_habitat_patches,
         "voronoi_cells": _q_voronoi_cells,
     }
@@ -1642,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
         "streaming_cell_rollup": _sql_streaming_cell_rollup_duck(),
         "ivf_topk": _SQL_IVF_TOPK,
+        "lsh_topk": _sql_lsh_topk_duck(),
         "media_features": _sql_media_features_duck(),
         "dissolve_layers": _sql_dissolve_layers_duck(),
         "neighbours_square": _sql_neighbours_square_duck(),

@@ -198,7 +198,8 @@ def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
 def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
                     vec: str = "embedding", k: int = 5, planes: int = 8,
                     dim: int = 64, tables: int = 4,
-                    max_bucket: int | None = 10_000) -> DataFrame:
+                    max_bucket: int | None = 10_000,
+                    rank_round: int | None = None) -> DataFrame:
     """ANN top-k via multi-table hyperplane LSH (OR-construction).
 
     `tables` independent plane sets each hash every vector into a bucket;
@@ -208,6 +209,13 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
     dropped before the self-join (one 10^6-member bucket of identical
     vectors would otherwise emit 10^12 pairs regardless of AQE).  All
     joins are equi-joins on (table, bucket) / key — never a cross join.
+
+    `rank_round` ranks by ROUND(cosine, rank_round) (see cosine_topk_ivf)
+    — the cross-engine determinism device: the sketch is pure sign
+    arithmetic on LCG hyperplane literals, so a SQL oracle can reproduce
+    the ENTIRE pipeline (buckets, OR-construction candidates, rank), and
+    rounding before ranking keeps last-ulp summation differences from
+    flipping near-ties.
     """
     u = with_unit_norm(df, vec)
     b = with_lsh_buckets(u, "unit_vec", planes, dim, tables)
@@ -238,6 +246,9 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
                                 F.col("unit_vec").alias("cv")), on="nn_id")
               .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
               .select("query_id", "nn_id", "cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    rank_key = F.col("cosine") if rank_round is None \
+        else F.round("cosine", rank_round)
+    w = Window.partitionBy("query_id").orderBy(F.desc(rank_key),
+                                               F.asc("nn_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
