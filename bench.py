@@ -50,7 +50,7 @@ BENCH_QUERIES = [
 # shows pass 2 systematically faster and stable -> the drift is JIT/
 # suite-position noise, and min-of-2 reports the steady-state number
 # (pass totals are still emitted so the warmup cost stays visible).
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 # r3 post-mortem: the BASELINE.json metric swung 7.43M -> 5.13M pages/sec on
