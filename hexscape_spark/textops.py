@@ -156,7 +156,6 @@ def with_repetition_signals(df: DataFrame, text: str = "text") -> DataFrame:
     words = F.expr(
         f"filter(split(lower({text}), '[^\\\\p{{L}}\\\\p{{N}}]+'), "
         "w -> w != '')")
-    dist_lines = F.array_distinct(lines)
     df = df.withColumn("__lines", lines).withColumn("__words", words)
     nl = F.greatest(F.size("__lines"), F.lit(1))
     df = df.withColumn(
