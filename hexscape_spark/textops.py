@@ -222,3 +222,37 @@ def stratified_sample_deterministic(df: DataFrame, rates: dict[str, float],
            .withColumn("__rate", F.coalesce("__rate", F.lit(default_rate))))
     bucket = F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(1_000_000))
     return out.where(bucket < F.col("__rate") * 1_000_000).drop("__rate")
+
+
+def with_pack_index(df: DataFrame, window_tokens: int,
+                    tokens: str = "n_tokens", key: str = "doc_id",
+                    out: str = "pack_id") -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a canonical
+    order (ascending `key`) and slice the token stream into fixed
+    `window_tokens` training windows.  Each document gets
+
+      * `pack_id`      — the window its FIRST token lands in
+      * `pack_offset`  — its first token's offset within that window
+      * `pack_spans`   — how many windows it straddles (1 = fits inside)
+
+    which is exactly the bookkeeping a packed-pretraining loader needs
+    (documents crossing a boundary continue in the next window, the
+    concat-and-slice regime of GPT/Llama pretraining).
+
+    Scale shape: one indexing.global_cumsum (range-partition + per-
+    partition window + driver offset map of one long per partition) —
+    never a single-partition global window.  Deterministic: the order is
+    the key order, not partition layout.
+    """
+    from .indexing import global_cumsum
+
+    ranked = global_cumsum(df, [key], tokens, out="__end")
+    start = (F.col("__end") - F.col(tokens)).cast("long")
+    end_incl = (F.col("__end") - 1).cast("long")
+    return (ranked
+            .withColumn(out, (start / window_tokens).cast("long"))
+            .withColumn("pack_offset", start % window_tokens)
+            .withColumn("pack_spans", F.greatest(
+                (end_incl / window_tokens).cast("long") -
+                (start / window_tokens).cast("long") + 1, F.lit(1)))
+            .drop("__end"))

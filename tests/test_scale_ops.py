@@ -689,3 +689,31 @@ def test_stratified_sample_deterministic(spark):
     # a different salt selects a different (same-sized-ish) set
     out3 = stratified_sample_deterministic(df, rates, salt=9).toPandas()
     assert set(out3.doc_id) != set(out.doc_id)
+
+
+def test_pack_index_concat_and_slice(spark):
+    """with_pack_index == the serial concat-and-slice reference: window
+    ids/offsets/spans from a plain Python cumsum over the same key order,
+    including documents that straddle window boundaries and empty docs."""
+    from pyspark.sql import functions as F2
+
+    from hexscape_spark.textops import with_pack_index
+    rng = np.random.RandomState(3)
+    toks = [int(t) for t in rng.randint(0, 900, size=500)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id LONG, n_tokens LONG")
+    W = 1024
+    got = with_pack_index(df.repartition(7), W).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    acc = 0
+    for i, t in enumerate(toks):
+        start, end = acc, acc + t
+        acc = end
+        row = got.loc[i]
+        assert row.pack_id == start // W, i
+        assert row.pack_offset == start % W, i
+        want_spans = max(((end - 1) // W) - (start // W) + 1, 1) if t else 1
+        assert row.pack_spans == want_spans, (i, t)
+    # the highest window touched by any document = the last token's window
+    total = sum(toks)
+    assert (got.pack_id + got.pack_spans - 1).max() == (total - 1) // W
