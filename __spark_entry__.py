@@ -862,7 +862,12 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
         .alias("embedding"))
-    out = cosine_topk_lsh(e, planes=10, tables=4, rank_round=6)
+    # max_bucket=None: the oracle does not model the production bucket
+    # cap, so the contract query must run uncapped (r4 review — at
+    # fixture scale no bucket comes near the cap, but the semantics must
+    # match by construction, not by luck)
+    out = cosine_topk_lsh(e, planes=10, tables=4, rank_round=6,
+                          max_bucket=None)
     return out.select("query_id", "nn_id", "rank",
                       F.round("cosine", 6).alias("cos_r"))
 

@@ -190,9 +190,14 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
     if salt_col is None:
         base = base.withColumn(
             "__salt", F.pmod(F.xxhash64(F.col(geom)), F.lit(num_salts)))
-        if cached is None:
-            base = base.persist()            # same planning-rescan fix
-            cached = base
+        if cached is not None:
+            # degenerate zero-extent spatial salt: the with_c cache is
+            # never read again — release it and cache the hash-salted
+            # base instead, or the planning counts below would re-run
+            # df's upstream lineage (r4 review)
+            cached.unpersist()
+        base = base.persist()                # same planning-rescan fix
+        cached = base
     # adaptive sub-salting (the skew.salted_agg pattern): a HEAVY slice —
     # e.g. a dense cluster concentrated in one spatial tile — splits into
     # `sub_salts` hash sub-slices so no level-1 task carries it alone; the
@@ -245,13 +250,17 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
     # level-1 checkpoint (no recompute), keys under `tree_bytes` of
     # partial-boundary WKB take the single-task merge — extra stages for
     # them would only add scheduler latency.
-    sz = (partial.groupBy(key)
-          .agg(F.sum(F.length("geom_wkb")).alias("b"),
-               F.count(F.lit(1)).alias("n"))
-          .agg(F.max("b").alias("mb"), F.max("n").alias("mn")).collect())
-    parallel_merge = bool(
-        sz and sz[0]["mn"] is not None and int(sz[0]["mn"]) > 1
-        and int(sz[0]["mb"] or 0) > tree_bytes)
+    # PER-KEY routing (r4 review: a single global flag would drag every
+    # tiny seam-only key through the 3-stage path once one key is heavy):
+    # only keys whose own partial-boundary bytes exceed tree_bytes — a
+    # small set by construction, each member carries > tree_bytes — take
+    # the component-parallel merge; the rest keep the single-task merge.
+    heavy_keys = (partial.groupBy(key)
+                  .agg(F.sum(F.length("geom_wkb")).alias("__b"),
+                       F.count(F.lit(1)).alias("__n"))
+                  .where((F.col("__b") > tree_bytes) & (F.col("__n") > 1))
+                  .select(key))
+    parallel_merge = not heavy_keys.isEmpty()
 
     out_schema = f"{key} STRING, geom_wkb BINARY, area DOUBLE, n_parts INT"
 
@@ -281,6 +290,14 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
             polys.extend(geo.wkb_to_polygons(bytes(w)))
         polys = _canonical_order(polys)
         comps = geo.overlap_components(polys)      # traced partials: snap
+        if not comps:
+            # all-empty geometry: keep the key alive with one empty
+            # component so the output matches the flat path's
+            # (key, empty, 0.0, 0) row (r4 review)
+            return pd.DataFrame({
+                key: [pdf[key].iloc[0]], "__comp": [0],
+                "geom_wkb": [geo.multipolygon_to_wkb([])],
+            })
         return pd.DataFrame({
             key: [pdf[key].iloc[0]] * len(comps),
             "__comp": list(range(len(comps))),
@@ -293,12 +310,15 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
     def union_one_component(pdf: pd.DataFrame) -> pd.DataFrame:
         # exactly the per-component body of _union_or_fallback
         sub = geo.wkb_to_polygons(bytes(pdf["geom_wkb"].iloc[0]))
-        try:
-            merged = geo.union_component(sub)
-            area = geo.polygons_area(merged)
-        except geo.UnionTraceError:
-            merged = sub
-            area = geo.union_area(sub)
+        if not sub:
+            merged, area = [], 0.0
+        else:
+            try:
+                merged = geo.union_component(sub)
+                area = geo.polygons_area(merged)
+            except geo.UnionTraceError:
+                merged = sub
+                area = geo.union_area(sub)
         return pd.DataFrame({
             key: [pdf[key].iloc[0]],
             "__comp": [int(pdf["__comp"].iloc[0])],
@@ -310,8 +330,12 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
         pdf = pdf.sort_values("__comp")            # flat-path piece order
         pieces: list[list[np.ndarray]] = []
         area = 0.0
+        n_parts = 0
         for w, a in zip(pdf["geom_wkb"], pdf["area"]):
-            pieces.extend(geo.wkb_to_polygons(bytes(w)))
+            ps = geo.wkb_to_polygons(bytes(w))
+            if ps:                                 # flat n_parts counts
+                n_parts += 1                       # non-empty components
+            pieces.extend(ps)
             area += float(a)                       # flat-path sum order
         if simplify_keep is not None:
             pieces = geo.simplify_polygons_keep(pieces, simplify_keep)
@@ -319,12 +343,19 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
             key: [pdf[key].iloc[0]],
             "geom_wkb": [geo.multipolygon_to_wkb(pieces)],
             "area": [area],
-            "n_parts": [len(pdf)],
+            "n_parts": [n_parts],
         })
 
-    comps_df = partial.groupBy(key).applyInPandas(split_components,
+    hk = F.broadcast(heavy_keys)
+    flat_res = (partial.join(hk, on=key, how="left_anti")
+                .groupBy(key).applyInPandas(final_union, schema=out_schema))
+    # (parallel_merge False short-circuits above — this point means at
+    # least one key routes through the component stages)
+    comp_in = partial.join(hk, on=key, how="left_semi")
+    comps_df = comp_in.groupBy(key).applyInPandas(split_components,
                                                   schema=comp_schema)
     unioned = comps_df.groupBy(key, "__comp").applyInPandas(
         union_one_component, schema=ca_schema)
-    return unioned.groupBy(key).applyInPandas(concat_components,
-                                              schema=out_schema)
+    comp_res = unioned.groupBy(key).applyInPandas(concat_components,
+                                                  schema=out_schema)
+    return flat_res.unionByName(comp_res)

@@ -141,23 +141,23 @@ def discretise_habitat(spark: SparkSession, habitat: DataFrame,
     assert max_size_km2 >= 2 * min_size_km2          # :46
 
     # habitat dimension table: the one driver materialisation, with an
-    # EXPLICIT bound (VERDICT r03 #7 — was an open-ended toPandas)
+    # EXPLICIT bound (VERDICT r03 #7 — was an open-ended toPandas).  The
+    # cap check (cheap count) runs BEFORE the collect so a pathological
+    # input fails without materialising; capacity (1.) then comes from
+    # the already-collected WKBs — one lineage execution and one parse
+    # instead of three actions + a duplicate distributed parse (r4
+    # review).
     n_hab = habitat.count()
     if n_hab > _HABITAT_DIM_CAP:
         raise ValueError(
             f"habitat dimension table has {n_hab} rows; discretise_habitat "
             f"caps its driver materialisation at {_HABITAT_DIM_CAP}")
-
-    @F.pandas_udf("double")
-    def _wkb_area(wkbs: pd.Series) -> pd.Series:
-        return wkbs.map(
-            lambda w: geo.polygons_area(geo.wkb_to_polygons(bytes(w))))
-
-    # 1. capacity / target size (km²) — ONE distributed aggregation
-    total_capacity = habitat.agg(F.sum(
-        _wkb_area(F.col(geom)) / 1e6 * F.col("Density"))).collect()[0][0]
+    hab_rows = habitat.select("Density", geom).collect()
+    hab_wkbs = [bytes(r[1]) for r in hab_rows]
+    total_capacity = sum(
+        geo.polygons_area(geo.wkb_to_polygons(w)) / 1e6 * float(r[0])
+        for r, w in zip(hab_rows, hab_wkbs))
     total_size_km2 = total_capacity / patch_density_per_km2
-    hab_wkbs = [bytes(r[0]) for r in habitat.select(geom).collect()]
 
     # 2. synthetic points (distributed).  Bandwidth moments are computed by
     # ONE distributed aggregation (exact percentiles + sample sd — Spark's

@@ -71,13 +71,21 @@ def global_cumsum(df: DataFrame, order_cols: list[str], value: str,
     sdf = sorted_df.withColumn("__pid", F.spark_partition_id()).persist()
     totals = {row["__pid"]: row["t"] for row in
               sdf.groupBy("__pid").agg(F.sum(value).alias("t")).collect()}
+    # keep INTEGER sums exact: SUM(long) collects as Python int, and int
+    # offsets emitted as long literals keep the running sum exact past
+    # 2^53 where a float accumulator would silently round (r4 review —
+    # with_pack_index's window ids depend on this)
+    integral = all(t is None or isinstance(t, int) for t in totals.values())
     offsets = {}
-    acc = 0.0
+    acc = 0 if integral else 0.0
     for pid in sorted(totals):
         offsets[pid] = acc
-        acc += totals[pid] or 0.0
-    offmap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]) \
-        if offsets else F.create_map()
+        acc += totals[pid] or (0 if integral else 0.0)
+    pairs = []
+    for pid, off in offsets.items():
+        pairs.append(F.lit(pid))
+        pairs.append(F.lit(off).cast("long") if integral else F.lit(off))
+    offmap = F.create_map(*pairs) if offsets else F.create_map()
     Window = __import__("pyspark.sql.window", fromlist=["Window"]).Window
     w = Window.partitionBy("__pid").orderBy(*cols) \
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -235,26 +235,33 @@ def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("not a RIFF/AVI file")
     w = h = nf = uspf = None
     frames_raw: list[bytes] = []
-
-    def walk(buf: bytes, i: int, end: int) -> None:
-        nonlocal w, h, nf, uspf
+    # iterative chunk walk (explicit range stack): crafted deep LIST
+    # nesting must raise the documented ValueError, never RecursionError
+    # (r4 review)
+    buf = payload
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        i, end = stack.pop()
         while i + 8 <= end:
             tag = buf[i:i + 4]
             (ln,) = struct.unpack_from("<I", buf, i + 4)
             if i + 8 + ln > end:
                 raise ValueError("malformed AVI: chunk overruns container")
+            nxt = i + 8 + ln + (ln % 2)
             if tag == b"LIST":
-                walk(buf, i + 12, i + 8 + ln)
-            elif tag == b"avih":
+                if ln < 4:
+                    raise ValueError("malformed AVI: short LIST")
+                stack.append((nxt, end))
+                i, end = i + 12, i + 8 + ln
+                continue
+            if tag == b"avih":
                 if ln < 40:
                     raise ValueError("malformed AVI: short avih")
                 vals = struct.unpack_from("<10I", buf, i + 8)
                 uspf, nf, w, h = vals[0], vals[4], vals[8], vals[9]
             elif tag in (b"00db", b"00dc"):
                 frames_raw.append(buf[i + 8:i + 8 + ln])
-            i += 8 + ln + (ln % 2)
-
-    walk(payload, 12, len(payload))
+            i = nxt
     if w is None or not frames_raw:
         raise ValueError("malformed AVI: missing avih or frames")
     rowbytes = (3 * w + 3) // 4 * 4

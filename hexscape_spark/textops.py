@@ -152,7 +152,11 @@ def with_repetition_signals(df: DataFrame, text: str = "text") -> DataFrame:
     one shuffle — which the map-only form deliberately avoids).
     """
     t = F.col(text)
-    lines = F.split(t, "\n")
+    # blank/whitespace-only lines are FORMATTING (paragraph separators),
+    # not repeated content — a 10-paragraph document would otherwise score
+    # dup_line_frac ~0.47 from its separators alone (r4 review)
+    lines = F.expr(
+        f"filter(split({text}, '\\n'), l -> length(trim(l)) > 0)")
     words = F.expr(
         f"filter(split(lower({text}), '[^\\\\p{{L}}\\\\p{{N}}]+'), "
         "w -> w != '')")
@@ -246,13 +250,17 @@ def with_pack_index(df: DataFrame, window_tokens: int,
     """
     from .indexing import global_cumsum
 
-    ranked = global_cumsum(df, [key], tokens, out="__end")
-    start = (F.col("__end") - F.col(tokens)).cast("long")
-    end_incl = (F.col("__end") - 1).cast("long")
+    W = int(window_tokens)
+    # all-integer bookkeeping (r4 review): global_cumsum keeps LONG sums
+    # exact, and window ids use integer DIV — double division would
+    # silently shift pack ids past ~2^53 cumulative tokens
+    ranked = global_cumsum(df, [key], tokens, out="__end") \
+        .withColumn("__start",
+                    F.col("__end").cast("long") - F.col(tokens).cast("long"))
     return (ranked
-            .withColumn(out, (start / window_tokens).cast("long"))
-            .withColumn("pack_offset", start % window_tokens)
+            .withColumn(out, F.expr(f"__start DIV {W}"))
+            .withColumn("pack_offset", F.expr(f"__start % {W}"))
             .withColumn("pack_spans", F.greatest(
-                (end_incl / window_tokens).cast("long") -
-                (start / window_tokens).cast("long") + 1, F.lit(1)))
-            .drop("__end"))
+                F.expr(f"(__start + {tokens} - 1) DIV {W}") -
+                F.col(out) + F.lit(1), F.lit(1)).cast("long"))
+            .drop("__end", "__start"))

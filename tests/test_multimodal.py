@@ -147,3 +147,15 @@ def test_extract_features_spark_contract(spark):
         mm.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="unknown media kind"):
         mm.extract_features(bad).collect()
+
+
+def test_decode_avi_deep_nesting_no_recursion():
+    """r4 review: crafted deep LIST nesting must raise the documented
+    ValueError (iterative walk), never RecursionError."""
+    import struct
+    inner = b""
+    for _ in range(5000):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"xxxx" + inner
+    payload = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        mm.decode_avi(payload)

@@ -242,3 +242,30 @@ def test_dissolve_simplify_keep_reduces_boundary_only(spark):
     nv = lambda w: sum(len(r) for p in geo.wkb_to_polygons(bytes(w))
                        for r in p)
     assert nv(simp.geom_wkb) < nv(full.geom_wkb)
+
+
+def test_dissolve_per_key_routing_keeps_small_and_empty_keys(spark):
+    """r4 review: the component-parallel merge routes PER KEY — one heavy
+    key must not drag small keys through the 3-stage path, and keys whose
+    geometry is entirely empty still emit their (key, empty, 0.0, 0) row;
+    output is byte-identical to the all-flat run for every key."""
+    from hexscape_spark.dissolve import dissolve
+
+    rows = [("S", bytearray(geo.rect_wkb(100.0, 100.0, 101.0, 101.0))),
+            ("E", bytearray(geo.multipolygon_to_wkb([])))]
+    for i in range(120):
+        x0 = 0.01 * i
+        rows.append(("H", bytearray(geo.rect_wkb(x0, 0.0, x0 + 1.0, 1.0))))
+    df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
+    d = dissolve(df, tree_bytes=1, spatial_salt=False).toPandas() \
+        .set_index("clc").sort_index()
+    assert list(d.index) == ["E", "H", "S"]
+    assert d.loc["E", "area"] == 0.0 and d.loc["E", "n_parts"] == 0
+    assert d.loc["S", "area"] == pytest.approx(1.0, rel=1e-12)
+    assert d.loc["H", "area"] == pytest.approx(1.0 + 119 * 0.01, rel=1e-12)
+    flat = dissolve(df, tree_bytes=1 << 40, spatial_salt=False).toPandas() \
+        .set_index("clc").sort_index()
+    for k in ("E", "H", "S"):
+        assert bytes(flat.loc[k, "geom_wkb"]) == bytes(d.loc[k, "geom_wkb"]), k
+        assert flat.loc[k, "area"] == d.loc[k, "area"], k
+        assert flat.loc[k, "n_parts"] == d.loc[k, "n_parts"], k

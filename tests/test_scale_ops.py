@@ -641,7 +641,8 @@ def test_repetition_signals_known_values(spark):
         [(0, "alpha\nbravo\ncharlie\ndelta\necho\nfox"),  # all distinct
          (1, "x\nx\nx\ny"),                       # 2 dup lines of 4
          (2, "spam spam spam spam ham"),          # top word 4/5
-         (3, "one two one two one two")],         # 2-grams repeat
+         (3, "one two one two one two"),          # 2-grams repeat
+         (4, "alpha beta\n\ngamma delta\n\nepsilon zeta\n")],  # blank seps
         "doc_id LONG, text STRING")
     got = with_repetition_signals(docs).toPandas().set_index("doc_id")
     assert got.loc[0, "dup_line_frac"] == 0.0
@@ -653,8 +654,11 @@ def test_repetition_signals_known_values(spark):
     # doc3 grams: [one two, two one, one two, two one, one two] ->
     # 5 grams, 2 distinct -> dup fraction 3/5
     assert got.loc[3, "dup_2gram_frac"] == pytest.approx(3 / 5)
+    # blank paragraph separators are formatting, not repetition (r4
+    # review: they previously counted as duplicate lines)
+    assert got.loc[4, "dup_line_frac"] == 0.0
     kept = with_quality_filter(docs).toPandas()
-    assert list(kept.doc_id) == [0]               # only the clean doc
+    assert sorted(kept.doc_id) == [0, 4]          # only the clean docs
     # real corpus: signals finite, filter keeps a majority
     corpus = spark.read.parquet(
         "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
