@@ -250,3 +250,61 @@ def test_boolean_polygons_with_holes():
     assert geo.polygons_area(d) == pytest.approx(
         geo.union_area([frame]) - geo.intersection_area([frame], [band]))
     assert geo.polygons_area(d) == pytest.approx(84.0 - 12.0)
+
+
+@given(seed=st.integers(0, 10_000), nl=st.integers(0, 6),
+       nr=st.integers(0, 6))
+@settings(max_examples=200, deadline=None)
+def test_seam_edges_vectorised_equals_naive(seed, nl, nr):
+    """The r4 searchsorted interval-membership vectorisation of
+    geo._seam_edges must emit exactly the edges of the naive per-midpoint
+    `any()` form it replaced, including tol-scale touching intervals and
+    duplicated breakpoints."""
+    rng = np.random.RandomState(seed)
+    tol = 1e-9
+
+    def intervals(n):
+        # the CONTRACT input: strips split at crossings, so a strip's
+        # merged intervals are vertically ordered and DISJOINT — they may
+        # touch (shared vertex exactly on the seam, hi == next lo up to
+        # ~ulp) but never properly overlap
+        out = []
+        y = float(rng.randint(0, 8)) / 4.0
+        for _ in range(n):
+            gap = 0.0 if rng.rand() < 0.4 else \
+                float(rng.randint(2, 10)) / 4.0
+            lo = y + gap
+            hi = lo + float(rng.randint(1, 12)) / 4.0
+            # ~tol endpoint jitter exercises the snap clustering and the
+            # touching-interval idx/idx-1 probes
+            if rng.rand() < 0.5:
+                lo += rng.choice([-1.0, 1.0]) * 0.3 * tol
+            if rng.rand() < 0.5:
+                hi += rng.choice([-1.0, 1.0]) * 0.3 * tol
+            out.append((lo, hi))
+            y = hi
+        return out
+
+    left, right = intervals(nl), intervals(nr)
+
+    def naive(x, left, right, tol):
+        pts = sorted(set([v for iv in left for v in iv] +
+                         [v for iv in right for v in iv]))
+        rep = []
+        for p in pts:
+            if not rep or p - rep[-1] > tol:
+                rep.append(p)
+        out = []
+        for u, v in zip(rep, rep[1:]):
+            m = 0.5 * (u + v)
+            in_l = any(lo - tol <= m <= hi + tol for lo, hi in left)
+            in_r = any(lo - tol <= m <= hi + tol for lo, hi in right)
+            if in_l and not in_r:
+                out.append((x, u, x, v))
+            elif in_r and not in_l:
+                out.append((x, v, x, u))
+        return out
+
+    got = geo._seam_edges(3.25, left, right, tol)
+    want = naive(3.25, left, right, tol)
+    assert got == want
