@@ -369,8 +369,12 @@ def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     default: min key), the keep-one rule production pipelines apply.
 
     Scale shape: one left equi-join of the corpus against the component
-    map (pairs are sparse — the map is far smaller than the corpus), one
-    window over family_id.  No driver materialisation.
+    map (pairs are sparse — the map is far smaller than the corpus), then
+    ONE hash aggregate per family (MIN(struct) with map-side partial
+    combine) joined back — deliberately NOT a window over family_id,
+    which would funnel a degenerate all-connected corpus (every boiler-
+    plate page in one family) into a single task.  No driver
+    materialisation.
     """
     from .graph import connected_components
 
@@ -379,12 +383,19 @@ def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     fam = (df.join(comp, on=key, how="left")
            .withColumn("family_id", F.coalesce("comp", F.col(key)))
            .drop("comp"))
-    order = [F.asc(key)] if quality is None \
-        else [F.desc(quality), F.asc(key)]
-    w = Window.partitionBy("family_id").orderBy(*order)
-    cnt = Window.partitionBy("family_id")
-    return (fam.withColumn("is_canonical", F.row_number().over(w) == 1)
-            .withColumn("family_size", F.count(F.lit(1)).over(cnt)))
+    # canonical = max quality, ties -> min key: MIN over
+    # struct(-quality, key) is exactly that ordering, as a combinable agg
+    pick = F.struct(F.col(key).alias("k")) if quality is None \
+        else F.struct((-F.col(quality)).alias("negq"),
+                      F.col(key).alias("k"))
+    reps = (fam.groupBy("family_id")
+            .agg(F.min(pick).alias("__r"),
+                 F.count(F.lit(1)).alias("family_size"))
+            .select("family_id", F.col("__r.k").alias("__canon"),
+                    "family_size"))
+    return (fam.join(reps, on="family_id")
+            .withColumn("is_canonical", F.col(key) == F.col("__canon"))
+            .drop("__canon"))
 
 
 def dedup_canonical(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
