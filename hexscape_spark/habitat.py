@@ -42,7 +42,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from . import geo
 
@@ -335,10 +334,14 @@ def discretise_habitat(spark: SparkSession, habitat: DataFrame,
     z2 = pick_target_z(elig_df)
     final = elig_df.where(F.col("z") >= z2)
     final = final.join(grid_components(final), on=["ix", "iy"])
-    # dense 1..n main-patch numbering in deterministic (min node key) order
-    wr = Window.orderBy("comp")
-    ranks = final.select("comp").distinct() \
-        .withColumn("main_patch", F.dense_rank().over(wr))
+    # dense 1..n main-patch numbering in deterministic (min node key)
+    # order — via the range-partitioned dense_index, not a global
+    # single-partition dense_rank window (r4: the last global window in
+    # this module; at continental scale components can be 10^6+)
+    from .indexing import dense_index
+    ranks = dense_index(final.select("comp").distinct(), ["comp"],
+                        out="main_patch") \
+        .withColumn("main_patch", F.col("main_patch").cast("int"))
     final = final.join(F.broadcast(ranks), on="comp")
 
     # 7. split big components: grouped-map k-means per component (executors
