@@ -721,3 +721,52 @@ def test_pack_index_concat_and_slice(spark):
     # the highest window touched by any document = the last token's window
     total = sum(toks)
     assert (got.pack_id + got.pack_spans - 1).max() == (total - 1) // W
+
+
+def test_warc_ingest_roundtrip(spark, tmp_path):
+    """WARC source format: deterministic member-per-record .warc.gz
+    segments parse back byte-exactly through the binaryFile + mapInPandas
+    reader, record-type prefilter applied; malformed streams raise
+    ValueError."""
+    from hexscape_spark.warc import (parse_warc_records, read_warc,
+                                     write_warc_gz)
+    segs = []
+    for s in range(3):
+        recs = []
+        for i in range(40):
+            body = (f"<html>seg{s} doc{i} " + "x" * (i * 7 % 90) +
+                    "</html>").encode()
+            recs.append({
+                "record_type": "response" if i % 3 else "request",
+                "url": f"https://example.org/s{s}/d{i}",
+                "warc_date": f"2026-01-{(i % 27) + 1:02d}T00:00:00Z",
+                "content_type": "text/html",
+                "payload": body,
+            })
+        p = str(tmp_path / f"seg{s}.warc.gz")
+        write_warc_gz(recs, p)
+        segs.append(recs)
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    got = df.toPandas().sort_values(["segment", "url"]).reset_index(drop=True)
+    want_n = sum(1 for recs in segs for r in recs
+                 if r["record_type"] == "response")
+    assert len(got) == want_n
+    assert (got.record_type == "response").all()
+    by_url = got.set_index("url")
+    for s, recs in enumerate(segs):
+        for r in recs:
+            if r["record_type"] != "response":
+                assert r["url"] not in by_url.index
+                continue
+            row = by_url.loc[r["url"]]
+            assert bytes(row.payload) == r["payload"]
+            assert row.warc_date == r["warc_date"]
+    # all record types when unfiltered
+    assert read_warc(spark, str(tmp_path / "*.warc.gz"),
+                     record_types=()).count() == 120
+    # malformed: truncated gzip and bad header both raise
+    with pytest.raises(ValueError):
+        list(parse_warc_records(b"\x1f\x8b\x08\x00bad"))
+    import gzip as _gz
+    with pytest.raises(ValueError):
+        list(parse_warc_records(_gz.compress(b"NOPE/1.0\r\n\r\n")))
