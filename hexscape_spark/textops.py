@@ -264,3 +264,69 @@ def with_pack_index(df: DataFrame, window_tokens: int,
                 F.expr(f"(__start + {tokens} - 1) DIV {W}") -
                 F.col(out) + F.lit(1), F.lit(1)).cast("long"))
             .drop("__end", "__start"))
+
+
+def _html_to_text(html: str) -> str:
+    """Visible-text extraction from HTML via the stdlib parser: drops
+    script/style/noscript/template subtrees and tags, collapses
+    whitespace within text runs, emits block boundaries as newlines."""
+    from html.parser import HTMLParser
+
+    _SKIP = {"script", "style", "noscript", "template"}
+    _BLOCK = {"p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5",
+              "h6", "table", "ul", "ol", "section", "article", "header",
+              "footer", "blockquote", "pre"}
+
+    class _X(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.depth = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP:
+                self.depth += 1
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP and self.depth:
+                self.depth -= 1
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self.depth and data.strip():
+                self.parts.append(" ".join(data.split()))
+
+    p = _X()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass                                     # salvage what parsed
+    out: list[str] = []
+    for part in p.parts:
+        if part == "\n":
+            if out and out[-1] != "\n":
+                out.append("\n")
+        else:
+            if out and out[-1] != "\n":
+                out.append(" ")
+            out.append(part)
+    return "".join(out).strip()
+
+
+def with_html_text(df: DataFrame, html: str = "html",
+                   out: str = "text") -> DataFrame:
+    """HTML -> visible text as an Arrow-batched pandas UDF — the
+    extraction stage between WARC ingest (warc.read_warc payloads) and
+    the text operators (language ID, quality, dedup).  Parsing is
+    per-row stdlib html.parser: no JVM round-trip of the DOM, no
+    regex-over-HTML fragility, malformed markup degrades to whatever
+    parsed."""
+    @F.pandas_udf("string")
+    def ext(h: pd.Series) -> pd.Series:
+        return h.map(lambda x: _html_to_text(x or ""))
+
+    return df.withColumn(out, ext(F.col(html)))

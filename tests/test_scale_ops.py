@@ -770,3 +770,48 @@ def test_warc_ingest_roundtrip(spark, tmp_path):
     import gzip as _gz
     with pytest.raises(ValueError):
         list(parse_warc_records(_gz.compress(b"NOPE/1.0\r\n\r\n")))
+
+
+def test_web_pipeline_warc_to_text_end_to_end(spark, tmp_path):
+    """The full CommonCrawl-shaped chain: .warc.gz segments -> response
+    records -> HTML text extraction -> token/quality/language/dedup
+    stages, with planted duplicates deduplicating across segments."""
+    from pyspark.sql import functions as F2
+
+    from hexscape_spark.dedup import dedup_keep_first
+    from hexscape_spark.textops import (with_html_text, with_lang_guess,
+                                        with_token_count)
+    from hexscape_spark.warc import write_warc_gz
+
+    def page(i):
+        # ids 0/10 and 5/15 are exact duplicate CONTENT on different urls
+        j = i % 10
+        return (f"<html><head><title>t{j}</title><style>x{{}}</style></head>"
+                f"<body><h1>Doc {j}</h1><p>the quick and lazy page {j} of "
+                f"words</p><script>var j={i};</script></body></html>")
+
+    for s in range(2):
+        recs = [{"record_type": "response",
+                 "url": f"https://ex.org/s{s}/p{i}",
+                 "warc_date": "2026-02-01T00:00:00Z",
+                 "content_type": "text/html",
+                 "payload": page(s * 10 + i).encode()} for i in range(10)]
+        write_warc_gz(recs, str(tmp_path / f"s{s}.warc.gz"))
+
+    from hexscape_spark.warc import read_warc
+    docs = read_warc(spark, str(tmp_path / "*.warc.gz")) \
+        .withColumn("html", F2.decode("payload", "UTF-8"))
+    txt = with_html_text(docs, "html")
+    got = txt.select("url", "text").toPandas().set_index("url")
+    t0 = got.loc["https://ex.org/s0/p3", "text"]
+    assert "Doc 3" in t0 and "quick and lazy page 3" in t0
+    assert "var j=" not in t0 and "x{}" not in t0    # script/style dropped
+    assert "t3" in t0                                # title text kept
+    enriched = with_lang_guess(with_token_count(txt))
+    e = enriched.select("url", "n_tokens", "lang_guess").toPandas()
+    assert (e.lang_guess == "en").all()              # 'the'/'and' markers
+    assert (e.n_tokens >= 8).all()
+    # exact dedup collapses the 20 urls to 10 distinct contents
+    kept = dedup_keep_first(txt.select(F2.col("url").alias("doc_id"),
+                                       "text"), key="doc_id")
+    assert kept.count() == 10
