@@ -108,6 +108,32 @@ def job_dedup(spark, args) -> None:
                       "pairs": spark.read.parquet(args.out).count()}))
 
 
+def job_webtext(spark, args) -> None:
+    """The CommonCrawl-shaped text pipeline: .warc.gz segments ->
+    response records -> HTML visible-text extraction -> token/quality/
+    language enrichment -> repetition filter -> exact dedup (keep
+    first).  `--pages` is the WARC glob; output is the clean corpus."""
+    from pyspark.sql import functions as F
+
+    from .dedup import dedup_keep_first
+    from .textops import (with_html_text, with_lang_guess,
+                          with_quality_filter, with_token_count)
+    from .warc import read_warc
+
+    docs = read_warc(spark, args.pages) \
+        .withColumn("html", F.decode("payload", "UTF-8"))
+    txt = with_html_text(docs, "html").select("url", "warc_date", "text")
+    enriched = with_lang_guess(with_token_count(txt))
+    filtered = with_quality_filter(enriched)
+    clean = dedup_keep_first(filtered.withColumnRenamed("url", "doc_id"),
+                             key="doc_id")
+    clean.write.mode("overwrite").parquet(args.out)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.out).count()
+    print(json.dumps({"job": "webtext", "records_in": n_in,
+                      "docs_out": n_out}))
+
+
 def job_landcover(spark, args) -> None:
     """extract_landcover over a land-cover parquet
     (poly_id, clc, geom_wkb) against a square mask, optional regroup."""
@@ -136,7 +162,7 @@ def main(argv: list[str] | None = None) -> None:
     runp = sub.add_parser("run")
     runp.add_argument("--job", required=True,
                       choices=["cell_rollup", "patches", "neighbours",
-                               "dedup", "landcover"])
+                               "dedup", "landcover", "webtext"])
     runp.add_argument("--pages")
     runp.add_argument("--out", required=True)
     runp.add_argument("--checkpoint-root")
@@ -157,6 +183,7 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(app=f"hexscape-{args.job}")
     try:
         {"cell_rollup": job_cell_rollup,
+         "webtext": job_webtext,
          "patches": job_patches,
          "neighbours": job_neighbours,
          "dedup": job_dedup,
