@@ -12,6 +12,8 @@ Jobs:
     patches         tile a rectangular landscape + land-use rollup
     neighbours      adjacency edges for the tiled landscape
     dedup           MinHash+LSH near-duplicate candidate pairs
+    webtext         .warc.gz -> HTTP-stripped HTML -> visible text
+                    -> quality filter -> exact dedup (clean corpus)
     landcover       extract_landcover over a (poly_id, clc, geom_wkb)
                     parquet, optional --regroup level
     scaling         the two-parallelism scaling job (see BENCH/scaling.py)
@@ -25,6 +27,8 @@ from __future__ import annotations
 
 import argparse
 import json
+
+import pandas as pd
 import os
 import sys
 import zipfile
@@ -118,10 +122,17 @@ def job_webtext(spark, args) -> None:
     from .dedup import dedup_keep_first
     from .textops import (with_html_text, with_lang_guess,
                           with_quality_filter, with_token_count)
-    from .warc import read_warc
+    from .warc import http_body, read_warc
+
+    @F.pandas_udf("binary")
+    def _body(p: pd.Series) -> pd.Series:
+        # real CC response records carry the full HTTP message; strip the
+        # status line + headers before text extraction (r4 review)
+        return p.map(lambda b: http_body(bytes(b)))
 
     docs = read_warc(spark, args.pages) \
-        .withColumn("html", F.decode("payload", "UTF-8"))
+        .withColumn("html", F.decode(_body(F.col("payload")), "UTF-8")) \
+        .persist()                     # one WARC parse for count + write
     txt = with_html_text(docs, "html").select("url", "warc_date", "text")
     enriched = with_lang_guess(with_token_count(txt))
     filtered = with_quality_filter(enriched)
@@ -129,6 +140,7 @@ def job_webtext(spark, args) -> None:
                              key="doc_id")
     clean.write.mode("overwrite").parquet(args.out)
     n_in = docs.count()
+    docs.unpersist()
     n_out = spark.read.parquet(args.out).count()
     print(json.dumps({"job": "webtext", "records_in": n_in,
                       "docs_out": n_out}))

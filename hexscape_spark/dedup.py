@@ -384,18 +384,27 @@ def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
            .withColumn("family_id", F.coalesce("comp", F.col(key)))
            .drop("comp"))
     # canonical = max quality, ties -> min key: MIN over
-    # struct(-quality, key) is exactly that ordering, as a combinable agg
+    # struct(-quality, key) is exactly that ordering, as a combinable
+    # agg.  NULL quality sorts LAST (coalesce to +inf), matching the
+    # window form's desc-NULLS-LAST this replaced — struct MIN would
+    # otherwise put a NULL field first and crown the null-quality doc
+    # (r4 review).
     pick = F.struct(F.col(key).alias("k")) if quality is None \
-        else F.struct((-F.col(quality)).alias("negq"),
+        else F.struct(F.coalesce(-F.col(quality).cast("double"),
+                                 F.lit(float("inf"))).alias("negq"),
                       F.col(key).alias("k"))
     reps = (fam.groupBy("family_id")
             .agg(F.min(pick).alias("__r"),
                  F.count(F.lit(1)).alias("family_size"))
-            .select("family_id", F.col("__r.k").alias("__canon"),
-                    "family_size"))
-    return (fam.join(reps, on="family_id")
-            .withColumn("is_canonical", F.col(key) == F.col("__canon"))
-            .drop("__canon"))
+            .select(F.col("family_id").alias("__fid"),
+                    F.col("__r.k").alias("__canon"), "family_size"))
+    # null-safe join: a NULL key row (family_id NULL) must survive as its
+    # own family, as it did under the window form (r4 review — a plain
+    # equi-join drops NULL = NULL)
+    return (fam.join(reps, F.col("family_id").eqNullSafe(F.col("__fid")))
+            .withColumn("is_canonical",
+                        F.col(key).eqNullSafe(F.col("__canon")))
+            .drop("__fid", "__canon"))
 
 
 def dedup_canonical(df: DataFrame, pairs: DataFrame, key: str = "doc_id",

@@ -1175,12 +1175,19 @@ def _seam_edges(x: float, left, right, tol: float) -> list[tuple]:
     pts = np.unique(np.concatenate([la.ravel(), ra.ravel()]))
     if len(pts) < 2:
         return []
-    # cluster breakpoints within tol (evaluations of the same geometric
-    # point from different segments differ by ~1 ulp)
-    keep = np.empty(len(pts), dtype=bool)
-    keep[0] = True
-    keep[1:] = np.diff(pts) > tol
-    rep = pts[keep]
+    # cluster breakpoints within tol of the last KEPT representative
+    # (evaluations of the same geometric point from different segments
+    # differ by ~1 ulp).  NOTE: distance-from-last-kept, NOT adjacent
+    # diff — a chain of sub-tol steps spanning more than tol must keep
+    # intermediate representatives (r4 review caught the vectorised
+    # adjacent-diff form silently collapsing such chains; the loop is
+    # O(breakpoints) and far off the profile — the hotspot was the
+    # membership test below, which stays vectorised)
+    rep_l: list[float] = []
+    for p in pts:
+        if not rep_l or p - rep_l[-1] > tol:
+            rep_l.append(float(p))
+    rep = np.asarray(rep_l, dtype=np.float64)
     if len(rep) < 2:
         return []
     u = rep[:-1]

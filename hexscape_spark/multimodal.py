@@ -421,7 +421,7 @@ def synth_media(spark, n: int) -> DataFrame:
 
 
 FRAME_SCHEMA = ("media_id LONG, frame_idx INT, n_frames INT, "
-                "payload BINARY, mime STRING")
+                "payload BINARY, mime STRING, kind STRING")
 
 
 def sample_frames(df: DataFrame, stride: int = 2, payload: str = "payload",
@@ -441,7 +441,10 @@ def sample_frames(df: DataFrame, stride: int = 2, payload: str = "payload",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, k, pl in zip(pdf["media_id"], pdf[kind], pdf[payload]):
+            mimes = pdf["mime"] if "mime" in pdf.columns \
+                else [None] * len(pdf)
+            for mid, k, pl, mm_ in zip(pdf["media_id"], pdf[kind],
+                                       pdf[payload], mimes):
                 mid = int(mid)
                 if k == "video":
                     _, frames = decode_avi(bytes(pl))
@@ -449,10 +452,14 @@ def sample_frames(df: DataFrame, stride: int = 2, payload: str = "payload",
                     for idx in range(0, nf, stride):
                         rows.append((mid, idx, nf,
                                      encode_ppm(frames[idx]),
-                                     "image/x-portable-pixmap"))
+                                     "image/x-portable-pixmap", "image"))
                 else:
-                    rows.append((mid, 0, 1, bytes(pl), None))
+                    # pass-through keeps the row's own mime/kind (r4
+                    # review: a None mime made stills and audio
+                    # indistinguishable downstream)
+                    rows.append((mid, 0, 1, bytes(pl), mm_, k))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
-                                              "n_frames", "payload", "mime"])
+                                              "n_frames", "payload",
+                                              "mime", "kind"])
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)

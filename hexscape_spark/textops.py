@@ -266,16 +266,16 @@ def with_pack_index(df: DataFrame, window_tokens: int,
             .drop("__end", "__start"))
 
 
-def _html_to_text(html: str) -> str:
-    """Visible-text extraction from HTML via the stdlib parser: drops
-    script/style/noscript/template subtrees and tags, collapses
-    whitespace within text runs, emits block boundaries as newlines."""
-    from html.parser import HTMLParser
+_HTML_SKIP = {"script", "style", "noscript", "template"}
+_HTML_BLOCK = {"p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5",
+               "h6", "table", "ul", "ol", "section", "article", "header",
+               "footer", "blockquote", "pre"}
 
-    _SKIP = {"script", "style", "noscript", "template"}
-    _BLOCK = {"p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5",
-              "h6", "table", "ul", "ol", "section", "article", "header",
-              "footer", "blockquote", "pre"}
+
+def _make_html_parser():
+    # class object built once at module import, not per document (r4
+    # review): _html_to_text runs per row on the extraction hot path
+    from html.parser import HTMLParser
 
     class _X(HTMLParser):
         def __init__(self) -> None:
@@ -284,22 +284,32 @@ def _html_to_text(html: str) -> str:
             self.depth = 0
 
         def handle_starttag(self, tag, attrs):
-            if tag in _SKIP:
+            if tag in _HTML_SKIP:
                 self.depth += 1
-            elif tag in _BLOCK:
+            elif tag in _HTML_BLOCK:
                 self.parts.append("\n")
 
         def handle_endtag(self, tag):
-            if tag in _SKIP and self.depth:
+            if tag in _HTML_SKIP and self.depth:
                 self.depth -= 1
-            elif tag in _BLOCK:
+            elif tag in _HTML_BLOCK:
                 self.parts.append("\n")
 
         def handle_data(self, data):
             if not self.depth and data.strip():
                 self.parts.append(" ".join(data.split()))
 
-    p = _X()
+    return _X
+
+
+_HTML_PARSER_CLS = _make_html_parser()
+
+
+def _html_to_text(html: str) -> str:
+    """Visible-text extraction from HTML via the stdlib parser: drops
+    script/style/noscript/template subtrees and tags, collapses
+    whitespace within text runs, emits block boundaries as newlines."""
+    p = _HTML_PARSER_CLS()
     try:
         p.feed(html)
         p.close()

@@ -9,8 +9,9 @@ gzip member boundaries.
 Spark mapping: one segment FILE per task via `binaryFile` (the standard
 approach — CC segments are ~1 GB, sized for exactly this), parsed by a
 pure-stdlib (zlib) record walker inside Arrow-batched `mapInPandas`.  At
-10^5 segments the scan shards perfectly; no Python object ever holds more
-than one record's payload plus the inflater window.
+10^5 segments the scan shards perfectly; the parser yields one Arrow
+batch PER SEGMENT, so a task's working set is one segment's (filtered)
+records — never the whole binaryFile batch (r4 review).
 
 Only public knowledge is used: the WARC/1.x record grammar and the gzip
 framing, both from the published specs.
@@ -102,20 +103,23 @@ def read_warc(spark: SparkSession, path: str,
     """
     types = set(record_types)
 
+    cols = ["segment", "record_type", "url", "warc_date",
+            "content_type", "payload"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for seg_path, blob in zip(pdf["path"], pdf["content"]):
                 gz = str(seg_path).endswith(".gz")
+                rows = []
                 for rec in parse_warc_records(bytes(blob), gz=gz):
                     if types and rec["record_type"] not in types:
                         continue
                     rows.append((str(seg_path), rec["record_type"],
                                  rec["url"], rec["warc_date"],
                                  rec["content_type"], rec["payload"]))
-            yield pd.DataFrame(rows, columns=[
-                "segment", "record_type", "url", "warc_date",
-                "content_type", "payload"])
+                # one batch per SEGMENT: bounds the task working set at a
+                # segment's records instead of the whole Arrow batch
+                yield pd.DataFrame(rows, columns=cols)
 
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
@@ -141,3 +145,18 @@ def write_warc_gz(records: list[dict], path: str) -> None:
         out += gzip.compress(member)
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def http_body(payload: bytes) -> bytes:
+    """The body of an HTTP response payload: real CommonCrawl `response`
+    records carry the FULL HTTP message (status line + headers + body),
+    which must be stripped before text extraction — headers would
+    otherwise pollute token counts, language ID and dedup hashes (r4
+    review).  Non-HTTP payloads pass through unchanged."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        sep = payload.find(b"\n\n")
+        return payload[sep + 2:] if sep >= 0 else payload
+    return payload[sep + 4:]

@@ -166,9 +166,7 @@ def test_sample_frames_roundtrip(spark):
     pixels equal the original frame; non-video rows pass through."""
     df = mm.synth_media(spark, 12)
     out = mm.extract_features(
-        mm.sample_frames(df, stride=2).where("mime IS NOT NULL")
-        .withColumn("kind", __import__("pyspark.sql.functions",
-                                       fromlist=["lit"]).lit("image")))
+        mm.sample_frames(df, stride=2).where("kind = 'image'"))
     out.count()                                  # frames feed the image path
     got = mm.sample_frames(df, stride=2).toPandas()
     for i in range(12):
@@ -176,6 +174,9 @@ def test_sample_frames_roundtrip(spark):
         if i % 2 == 0 or i % 4 == 1:             # image/audio pass-through
             assert len(rows) == 1
             assert rows.iloc[0].frame_idx == 0 and rows.iloc[0].n_frames == 1
+            # mime/kind survive pass-through (r4 review)
+            assert rows.iloc[0].kind == ("image" if i % 2 == 0 else "audio")
+            assert rows.iloc[0].mime is not None
         else:                                    # video
             _, frames = mm.decode_avi(mm._synth_video(i))
             want_idx = list(range(0, len(frames), 2))
