@@ -340,3 +340,45 @@ def with_html_text(df: DataFrame, html: str = "html",
         return h.map(lambda x: _html_to_text(x or ""))
 
     return df.withColumn(out, ext(F.col(html)))
+
+
+# PII patterns (Java regex, JVM-evaluated): email, international-ish
+# phone sequences, IPv4.  Deliberately conservative — training-data
+# scrubbing favours precision on unambiguous formats over recall on
+# free-form ones (a broad phone regex would eat years/ids/quantities).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"(?<![\w.])\+?\d[\d\s().-]{7,}\d(?![\w.])"
+_PII_IPV4 = (r"(?<![\w.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+             r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])")
+
+
+def with_pii_scrubbed(df: DataFrame, text: str = "text",
+                      out: str = "text_scrubbed") -> DataFrame:
+    """PII redaction for training corpora: emails, phone-number-shaped
+    digit runs and IPv4 addresses replaced with typed placeholder tokens
+    (<EMAIL>/<PHONE>/<IP> — the convention BigScience/StarCoder-style
+    pipelines use, so models learn the token, not the value).  Three
+    chained JVM regexp_replace calls — map-only, codegen, no Python."""
+    t = F.regexp_replace(F.col(text), _PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, _PII_IPV4, "<IP>")
+    t = F.regexp_replace(t, _PII_PHONE, "<PHONE>")
+    return df.withColumn(out, t)
+
+
+def with_url_features(df: DataFrame, url: str = "url") -> DataFrame:
+    """URL structure features for corpus curation: registrable host,
+    path depth, TLD, and a query-string flag — the columns per-domain
+    policies key on (e.g. stratified_sample_deterministic(stratum=
+    'url_host') for per-domain mixing rates).  Pure JVM parse_url +
+    string expressions."""
+    host = F.lower(F.parse_url(F.col(url), F.lit("HOST")))
+    path = F.parse_url(F.col(url), F.lit("PATH"))
+    return (df
+            .withColumn("url_host", host)
+            .withColumn("url_tld", F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1))
+            .withColumn("url_path_depth", F.when(
+                F.coalesce(path, F.lit("")).isin("", "/"), F.lit(0))
+                .otherwise(F.size(F.split(F.regexp_replace(
+                    path, "^/|/$", ""), "/"))).cast("int"))
+            .withColumn("url_has_query",
+                        F.parse_url(F.col(url), F.lit("QUERY")).isNotNull()))

@@ -815,3 +815,35 @@ def test_web_pipeline_warc_to_text_end_to_end(spark, tmp_path):
     kept = dedup_keep_first(txt.select(F2.col("url").alias("doc_id"),
                                        "text"), key="doc_id")
     assert kept.count() == 10
+
+
+def test_pii_scrubbing_and_url_features(spark):
+    """PII placeholders replace emails/phones/IPs (and leave years,
+    versions and short ids alone); URL features parse host/tld/depth."""
+    from hexscape_spark.textops import with_pii_scrubbed, with_url_features
+    docs = spark.createDataFrame(
+        [(0, "mail bob.smith+x@sub.example.org now"),
+         (1, "call +1 (415) 555-0199 or 020 7946 0958 today"),
+         (2, "host 192.168.001.1 and 8.8.8.8 up"),
+         (3, "born 1984, version 3.14.15, room 12")],
+        "doc_id LONG, text STRING")
+    got = with_pii_scrubbed(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "text_scrubbed"] == "mail <EMAIL> now"
+    assert got.loc[1, "text_scrubbed"] == "call <PHONE> or <PHONE> today"
+    assert "8.8.8.8" not in got.loc[2, "text_scrubbed"]
+    assert got.loc[2, "text_scrubbed"].count("<IP>") == 1  # 001 not octet
+    # no false positives on years/versions/short numbers
+    assert got.loc[3, "text_scrubbed"] == "born 1984, version 3.14.15, room 12"
+    urls = spark.createDataFrame(
+        [(0, "https://News.Example.co.uk/a/b/c?q=1"),
+         (1, "http://example.org/"),
+         (2, "https://sub.domain.io/page")],
+        "doc_id LONG, url STRING")
+    uf = with_url_features(urls).toPandas().set_index("doc_id")
+    assert uf.loc[0, "url_host"] == "news.example.co.uk"
+    assert uf.loc[0, "url_tld"] == "uk"
+    assert uf.loc[0, "url_path_depth"] == 3
+    assert bool(uf.loc[0, "url_has_query"])
+    assert uf.loc[1, "url_path_depth"] == 0
+    assert not bool(uf.loc[1, "url_has_query"])
+    assert uf.loc[2, "url_tld"] == "io" and uf.loc[2, "url_path_depth"] == 1
