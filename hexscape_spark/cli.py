@@ -127,11 +127,13 @@ def job_webtext(spark, args) -> None:
     @F.pandas_udf("binary")
     def _body(p: pd.Series) -> pd.Series:
         # real CC response records carry the full HTTP message; strip the
-        # status line + headers before text extraction (r4 review)
+        # status line + headers before text extraction (r4 review).
+        # Decoding happens inside with_html_text (utf-8 with replacement
+        # - a strict JVM decode would fail the task on one mojibake page)
         return p.map(lambda b: http_body(bytes(b)))
 
     docs = read_warc(spark, args.pages) \
-        .withColumn("html", F.decode(_body(F.col("payload")), "UTF-8")) \
+        .withColumn("html", _body(F.col("payload"))) \
         .persist()                     # one WARC parse for count + write
     txt = with_html_text(docs, "html").select("url", "warc_date", "text")
     enriched = with_lang_guess(with_token_count(txt))

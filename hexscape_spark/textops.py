@@ -334,10 +334,18 @@ def with_html_text(df: DataFrame, html: str = "html",
     the text operators (language ID, quality, dedup).  Parsing is
     per-row stdlib html.parser: no JVM round-trip of the DOM, no
     regex-over-HTML fragility, malformed markup degrades to whatever
-    parsed."""
+    parsed.  Accepts STRING or BINARY input — bytes decode as UTF-8 with
+    replacement (real crawl payloads carry arbitrary encodings; a strict
+    JVM decode would fail the whole task on one mojibake page)."""
     @F.pandas_udf("string")
     def ext(h: pd.Series) -> pd.Series:
-        return h.map(lambda x: _html_to_text(x or ""))
+        def one(x):
+            if x is None:
+                return ""
+            if isinstance(x, (bytes, bytearray)):
+                x = bytes(x).decode("utf-8", "replace")
+            return _html_to_text(x)
+        return h.map(one)
 
     return df.withColumn(out, ext(F.col(html)))
 
