@@ -847,3 +847,24 @@ def test_pii_scrubbing_and_url_features(spark):
     assert uf.loc[1, "url_path_depth"] == 0
     assert not bool(uf.loc[1, "url_has_query"])
     assert uf.loc[2, "url_tld"] == "io" and uf.loc[2, "url_path_depth"] == 1
+
+
+def test_dedup_families_null_quality_and_null_key(spark):
+    """r4 review regressions pinned: a NULL-quality doc never beats a
+    scored one for canonical (struct MIN would otherwise crown it), and
+    a NULL-key row survives the reps join as its own family."""
+    from hexscape_spark.dedup import dedup_families
+    docs = spark.createDataFrame(
+        [(0, "a", None), (1, "b", 0.9), (2, "c", 0.1), (None, "d", 5.0)],
+        "doc_id LONG, text STRING, q DOUBLE")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a LONG, id_b LONG")
+    fam = dedup_families(docs, pairs, quality="q").toPandas()
+    assert len(fam) == 4                       # null-key row retained
+    trio = fam[fam.doc_id.isin([0, 1, 2])]
+    assert trio.family_id.nunique() == 1 and (trio.family_size == 3).all()
+    # canonical = best scored doc (1), NOT the null-quality doc (0)
+    assert list(trio[trio.is_canonical].doc_id) == [1]
+    nullrow = fam[fam.doc_id.isna()]
+    assert len(nullrow) == 1
+    assert bool(nullrow.is_canonical.iloc[0])
+    assert int(nullrow.family_size.iloc[0]) == 1
