@@ -350,12 +350,20 @@ def with_html_text(df: DataFrame, html: str = "html",
     return df.withColumn(out, ext(F.col(html)))
 
 
-# PII patterns (Java regex, JVM-evaluated): email, international-ish
-# phone sequences, IPv4.  Deliberately conservative — training-data
-# scrubbing favours precision on unambiguous formats over recall on
-# free-form ones (a broad phone regex would eat years/ids/quantities).
+# PII patterns (Java regex, JVM-evaluated): email, phone, IPv4.
+# Deliberately conservative — training-data scrubbing favours precision
+# on unambiguous formats over recall on free-form ones.  The phone
+# pattern therefore requires a STRONG phone signal (leading +, a
+# parenthesised area code, or three 3-4 digit groups): ISO dates
+# (4-2-2), year ranges (4-4), spaced thousands (2-3-3), decimals and
+# ISBNs all fail the group-shape test (pinned by adversarial tests —
+# the r4 first cut matched any 9+ char digit run and destroyed them).
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"(?<![\w.])\+?\d[\d\s().-]{7,}\d(?![\w.])"
+_PII_PHONE = (
+    r"\+\d[\d ().-]{6,}\d"                       # +international
+    r"|\(\d{2,4}\)[ .-]?\d{3,4}[ .-]?\d{3,4}"   # (area) nnn nnnn
+    r"|(?<![\d.-])\d{3,4}[ .-]\d{3,4}[ .-]\d{3,4}(?![\d.-])"  # nnn nnn nnnn
+)
 _PII_IPV4 = (r"(?<![\w.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
              r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])")
 
@@ -374,19 +382,26 @@ def with_pii_scrubbed(df: DataFrame, text: str = "text",
 
 
 def with_url_features(df: DataFrame, url: str = "url") -> DataFrame:
-    """URL structure features for corpus curation: registrable host,
+    """URL structure features for corpus curation: full hostname,
     path depth, TLD, and a query-string flag — the columns per-domain
     policies key on (e.g. stratified_sample_deterministic(stratum=
     'url_host') for per-domain mixing rates).  Pure JVM parse_url +
     string expressions."""
-    host = F.lower(F.parse_url(F.col(url), F.lit("HOST")))
+    # full hostname (NOT the registrable domain — a public-suffix list
+    # is out of scope; callers keying per-domain policies should be
+    # aware subdomains are separate strata), trailing dot normalised
+    host = F.regexp_replace(
+        F.lower(F.parse_url(F.col(url), F.lit("HOST"))), r"\.$", "")
     path = F.parse_url(F.col(url), F.lit("PATH"))
+    # alphabetic TLDs only: IP-literal hosts ('...216.34') and dotless
+    # hosts ('localhost') yield '' instead of numeric pseudo-TLDs
+    tld = F.regexp_extract(host, r"\.([a-z][a-z0-9-]*)$", 1)
+    # empty segments dropped, so '//a' and 'a//b' count real segments
+    depth = F.size(F.filter(F.split(F.coalesce(path, F.lit("")), "/"),
+                            lambda seg: seg != F.lit("")))
     return (df
             .withColumn("url_host", host)
-            .withColumn("url_tld", F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1))
-            .withColumn("url_path_depth", F.when(
-                F.coalesce(path, F.lit("")).isin("", "/"), F.lit(0))
-                .otherwise(F.size(F.split(F.regexp_replace(
-                    path, "^/|/$", ""), "/"))).cast("int"))
+            .withColumn("url_tld", tld)
+            .withColumn("url_path_depth", depth.cast("int"))
             .withColumn("url_has_query",
                         F.parse_url(F.col(url), F.lit("QUERY")).isNotNull()))

@@ -825,7 +825,10 @@ def test_pii_scrubbing_and_url_features(spark):
         [(0, "mail bob.smith+x@sub.example.org now"),
          (1, "call +1 (415) 555-0199 or 020 7946 0958 today"),
          (2, "host 192.168.001.1 and 8.8.8.8 up"),
-         (3, "born 1984, version 3.14.15, room 12")],
+         (3, "born 1984, version 3.14.15, room 12"),
+         (4, "on 2026-08-16, the war 1939-1945 era, population 10 000 000"),
+         (5, "pi is 3.141592653 and ISBN 978-0-306-40615-7 cite"),
+         (6, "ring (020) 7946 0958 or 415-555-0199 now")],
         "doc_id LONG, text STRING")
     got = with_pii_scrubbed(docs).toPandas().set_index("doc_id")
     assert got.loc[0, "text_scrubbed"] == "mail <EMAIL> now"
@@ -834,6 +837,13 @@ def test_pii_scrubbing_and_url_features(spark):
     assert got.loc[2, "text_scrubbed"].count("<IP>") == 1  # 001 not octet
     # no false positives on years/versions/short numbers
     assert got.loc[3, "text_scrubbed"] == "born 1984, version 3.14.15, room 12"
+    # adversarial non-phones (r4 second review: the first cut ate these):
+    # ISO dates, year ranges, spaced thousands, decimals, ISBNs
+    assert got.loc[4, "text_scrubbed"] == \
+        "on 2026-08-16, the war 1939-1945 era, population 10 000 000"
+    assert got.loc[5, "text_scrubbed"] == \
+        "pi is 3.141592653 and ISBN 978-0-306-40615-7 cite"
+    assert got.loc[6, "text_scrubbed"] == "ring <PHONE> or <PHONE> now"
     urls = spark.createDataFrame(
         [(0, "https://News.Example.co.uk/a/b/c?q=1"),
          (1, "http://example.org/"),
@@ -847,6 +857,17 @@ def test_pii_scrubbing_and_url_features(spark):
     assert uf.loc[1, "url_path_depth"] == 0
     assert not bool(uf.loc[1, "url_has_query"])
     assert uf.loc[2, "url_tld"] == "io" and uf.loc[2, "url_path_depth"] == 1
+    # r4 second review: empty path segments don't inflate depth; IP and
+    # dotless hosts yield no pseudo-TLD; trailing host dot normalised
+    edge = spark.createDataFrame(
+        [(0, "https://x.com//a"), (1, "http://93.184.216.34/page"),
+         (2, "http://localhost/x"), (3, "http://example.com./x/y")],
+        "doc_id LONG, url STRING")
+    ef = with_url_features(edge).toPandas().set_index("doc_id")
+    assert ef.loc[0, "url_path_depth"] == 1
+    assert ef.loc[1, "url_tld"] == "" and ef.loc[2, "url_tld"] == ""
+    assert ef.loc[3, "url_host"] == "example.com"
+    assert ef.loc[3, "url_tld"] == "com" and ef.loc[3, "url_path_depth"] == 2
 
 
 def test_dedup_families_null_quality_and_null_key(spark):
