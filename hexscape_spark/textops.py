@@ -405,3 +405,58 @@ def with_url_features(df: DataFrame, url: str = "url") -> DataFrame:
             .withColumn("url_path_depth", depth.cast("int"))
             .withColumn("url_has_query",
                         F.parse_url(F.col(url), F.lit("QUERY")).isNotNull()))
+
+
+def train_char_ngram_lm(df: DataFrame, text: str = "text", n: int = 3,
+                        top: int = 50_000) -> dict:
+    """Train a character n-gram language model on the corpus itself — the
+    distributable core of a KenLM-style perplexity quality filter (score
+    documents against in-domain statistics; wildly out-of-domain or
+    garbled text scores low).
+
+    Counting is ONE distributed pass: n-grams generated JVM-side
+    (sequence + substring + explode), hash-aggregated, and only the `top`
+    most frequent n-grams (deterministic count-desc, gram-asc tie-break)
+    are collected — the model is a bounded broadcast dimension no matter
+    the corpus size.  Returns {"n", "total", "logp": {gram: logprob},
+    "oov": floor logprob} with probabilities over the kept mass.
+    """
+    import math
+
+    grams = df.select(F.explode(F.expr(
+        f"transform(sequence(1, greatest(length({text}) - {n - 1}, 0)), "
+        f"i -> substring({text}, i, {n}))")).alias("g"))
+    counts = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+              .orderBy(F.desc("c"), F.asc("g")).limit(top).collect())
+    total = sum(r["c"] for r in counts)
+    logp = {r["g"]: math.log(r["c"] / total) for r in counts}
+    # OOV floor: half a count — anything rarer than the kept set
+    oov = math.log(0.5 / max(total, 1))
+    return {"n": n, "total": total, "logp": logp, "oov": oov}
+
+
+def with_lm_score(df: DataFrame, model: dict, text: str = "text",
+                  out: str = "lm_logprob_per_gram") -> DataFrame:
+    """Mean n-gram log-probability of each document under a
+    train_char_ngram_lm model — higher = more in-domain.  The model
+    broadcasts once (Spark auto-broadcasts the UDF closure's reference);
+    scoring is an Arrow-batched pandas UDF, map-only.
+
+    The standard cut drops the lowest-scoring tail (e.g. bottom 10% or
+    an absolute threshold calibrated on held-out clean text)."""
+    n = int(model["n"])
+    logp = model["logp"]
+    oov = float(model["oov"])
+
+    @F.pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        def one(t):
+            t = t or ""
+            if len(t) < n:
+                return oov
+            vals = [logp.get(t[i:i + n], oov)
+                    for i in range(len(t) - n + 1)]
+            return sum(vals) / len(vals)
+        return texts.map(one)
+
+    return df.withColumn(out, score(F.col(text)))

@@ -889,3 +889,30 @@ def test_dedup_families_null_quality_and_null_key(spark):
     assert len(nullrow) == 1
     assert bool(nullrow.is_canonical.iloc[0])
     assert int(nullrow.family_size.iloc[0]) == 1
+
+
+def test_char_ngram_lm_scores_in_domain_text_higher(spark):
+    """The corpus-trained trigram LM ranks real in-domain text above
+    character-scrambled text (the perplexity-filter premise), the model
+    is bounded by `top`, and training is deterministic."""
+    import random
+
+    from hexscape_spark.textops import train_char_ngram_lm, with_lm_score
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    model = train_char_ngram_lm(corpus, top=5000)
+    assert len(model["logp"]) <= 5000
+    model2 = train_char_ngram_lm(corpus, top=5000)
+    assert model == model2                       # deterministic training
+    rows = corpus.limit(20).collect()
+    rng = random.Random(7)
+    pairs = []
+    for i, r in enumerate(rows):
+        scrambled = "".join(rng.sample(r["text"], len(r["text"])))
+        pairs.append((i, "real", r["text"]))
+        pairs.append((i, "scrambled", scrambled))
+    df = spark.createDataFrame(pairs, "i LONG, kind STRING, text STRING")
+    got = with_lm_score(df, model).toPandas().pivot(
+        index="i", columns="kind", values="lm_logprob_per_gram")
+    # every real doc outscores its scrambled twin
+    assert (got["real"] > got["scrambled"]).all()
