@@ -378,9 +378,16 @@ def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     """
     from .graph import connected_components
 
+    # NULL-key rows bypass the family machinery entirely: each is its own
+    # singleton family (family_id NULL, canonical).  Grouping them would
+    # collapse EVERY NULL-key row into one NULL family and the null-safe
+    # canonical equality would crown all of them (r4 ADVICE — the earlier
+    # fix only survived with a single NULL-key row).
+    nulls = df.where(F.col(key).isNull())
     comp = connected_components(pairs, a=a, b=b) \
         .withColumnRenamed("node", key)
-    fam = (df.join(comp, on=key, how="left")
+    fam = (df.where(F.col(key).isNotNull())
+           .join(comp, on=key, how="left")
            .withColumn("family_id", F.coalesce("comp", F.col(key)))
            .drop("comp"))
     # canonical = max quality, ties -> min key: MIN over
@@ -398,13 +405,14 @@ def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
                  F.count(F.lit(1)).alias("family_size"))
             .select(F.col("family_id").alias("__fid"),
                     F.col("__r.k").alias("__canon"), "family_size"))
-    # null-safe join: a NULL key row (family_id NULL) must survive as its
-    # own family, as it did under the window form (r4 review — a plain
-    # equi-join drops NULL = NULL)
-    return (fam.join(reps, F.col("family_id").eqNullSafe(F.col("__fid")))
-            .withColumn("is_canonical",
-                        F.col(key).eqNullSafe(F.col("__canon")))
-            .drop("__fid", "__canon"))
+    keyed = (fam.join(reps, F.col("family_id") == F.col("__fid"))
+             .withColumn("is_canonical", F.col(key) == F.col("__canon"))
+             .drop("__fid", "__canon"))
+    null_fams = (nulls
+                 .withColumn("family_id", F.col(key))      # NULL marker
+                 .withColumn("family_size", F.lit(1).cast("long"))
+                 .withColumn("is_canonical", F.lit(True)))
+    return keyed.unionByName(null_fams)
 
 
 def dedup_canonical(df: DataFrame, pairs: DataFrame, key: str = "doc_id",

@@ -102,6 +102,7 @@ def connected_components(edges: DataFrame, a: str = "src", b: str = "dst",
         .distinct().localCheckpoint(eager=True)
     lab = nodes.select("node", F.col("node").alias("lab")) \
         .localCheckpoint(eager=True)
+    changed = -1                       # "never measured" (max_rounds < 1)
     for _ in range(max_rounds):
         nbr_min = (sym.join(lab.withColumnRenamed("node", "nbr"), on="nbr")
                    .groupBy("node").agg(F.min("lab").alias("nlab")))
@@ -121,4 +122,13 @@ def connected_components(edges: DataFrame, a: str = "src", b: str = "dst",
         lab = new
         if changed == 0:
             break
+    else:
+        # dedup_canonical rides on these labels (which documents get
+        # DROPPED) — a partially-merged labelling must be an error, never
+        # a silent wrong answer (r4 ADVICE).  64 pointer-jumping rounds
+        # is unreachable for any real graph (components of depth 2^64).
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} "
+                "rounds")
     return lab.select("node", F.col("lab").alias("comp"))

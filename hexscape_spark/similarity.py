@@ -218,7 +218,11 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
     flipping near-ties.
     """
     u = with_unit_norm(df, vec)
-    b = with_lsh_buckets(u, "unit_vec", planes, dim, tables)
+    # sketch the RAW vector, not the unit-normed one (r4 ADVICE): the sign
+    # bits are scale-invariant, and hashing the same bytes the SQL oracle
+    # hashes removes the one cross-engine flake source — a normalised
+    # component differing in the last ulp flipping a near-zero plane dot
+    b = with_lsh_buckets(u, vec, planes, dim, tables)
     # exchange barrier: stops CollapseProject re-inlining the norm +
     # plane-dot expression trees per consumer (sketches computed once)
     b = b.select(key, *[f"__b{t}" for t in range(tables)]) \

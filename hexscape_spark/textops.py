@@ -358,11 +358,16 @@ def with_html_text(df: DataFrame, html: str = "html",
 # (4-2-2), year ranges (4-4), spaced thousands (2-3-3), decimals and
 # ISBNs all fail the group-shape test (pinned by adversarial tests —
 # the r4 first cut matched any 9+ char digit run and destroyed them).
+# Uniform space-separated 3-3-3 groups ('123 456 789') are ALSO
+# rejected (r4 ADVICE): that shape is how many locales space large
+# numbers, so the bare three-group form needs either a 4-digit group
+# or a non-space separator somewhere.
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = (
     r"\+\d[\d ().-]{6,}\d"                       # +international
     r"|\(\d{2,4}\)[ .-]?\d{3,4}[ .-]?\d{3,4}"   # (area) nnn nnnn
-    r"|(?<![\d.-])\d{3,4}[ .-]\d{3,4}[ .-]\d{3,4}(?![\d.-])"  # nnn nnn nnnn
+    r"|(?<![\d.-])(?!\d{3} \d{3} \d{3}(?![\d.-]))"  # not spaced thousands
+    r"\d{3,4}[ .-]\d{3,4}[ .-]\d{3,4}(?![\d.-])"    # nnn nnn nnnn
 )
 _PII_IPV4 = (r"(?<![\w.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
              r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])")

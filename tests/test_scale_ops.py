@@ -589,6 +589,19 @@ def test_connected_components_matches_unionfind(spark):
         assert c == min(members)
 
 
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """Exhausting max_rounds without convergence raises instead of
+    returning partially-merged labels (r4 ADVICE: dedup_canonical decides
+    which documents to DROP from these labels, so a silent partial
+    labelling is worse than an error)."""
+    import pytest
+    from hexscape_spark.graph import connected_components
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "src LONG, dst LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=1)
+
+
 def test_dedup_families_transitive_and_canonical(spark):
     """dedup_families: near-dup pairs cluster TRANSITIVELY (A~B, B~C ->
     one family of 3), unpaired docs are their own singleton family,
@@ -828,7 +841,9 @@ def test_pii_scrubbing_and_url_features(spark):
          (3, "born 1984, version 3.14.15, room 12"),
          (4, "on 2026-08-16, the war 1939-1945 era, population 10 000 000"),
          (5, "pi is 3.141592653 and ISBN 978-0-306-40615-7 cite"),
-         (6, "ring (020) 7946 0958 or 415-555-0199 now")],
+         (6, "ring (020) 7946 0958 or 415-555-0199 now"),
+         (7, "about 123 456 789 kr and 100 000 000 people"),
+         (8, "fine 555 123 4567 and 555.123.456 stay phones")],
         "doc_id LONG, text STRING")
     got = with_pii_scrubbed(docs).toPandas().set_index("doc_id")
     assert got.loc[0, "text_scrubbed"] == "mail <EMAIL> now"
@@ -844,6 +859,12 @@ def test_pii_scrubbing_and_url_features(spark):
     assert got.loc[5, "text_scrubbed"] == \
         "pi is 3.141592653 and ISBN 978-0-306-40615-7 cite"
     assert got.loc[6, "text_scrubbed"] == "ring <PHONE> or <PHONE> now"
+    # uniform space-separated 3-3-3 groups are spaced large numbers in
+    # many locales, never scrubbed (r4 ADVICE); a 4-digit group or a
+    # non-space separator restores the phone signal
+    assert got.loc[7, "text_scrubbed"] == \
+        "about 123 456 789 kr and 100 000 000 people"
+    assert got.loc[8, "text_scrubbed"] == "fine <PHONE> and <PHONE> stay phones"
     urls = spark.createDataFrame(
         [(0, "https://News.Example.co.uk/a/b/c?q=1"),
          (1, "http://example.org/"),
@@ -876,19 +897,22 @@ def test_dedup_families_null_quality_and_null_key(spark):
     a NULL-key row survives the reps join as its own family."""
     from hexscape_spark.dedup import dedup_families
     docs = spark.createDataFrame(
-        [(0, "a", None), (1, "b", 0.9), (2, "c", 0.1), (None, "d", 5.0)],
+        [(0, "a", None), (1, "b", 0.9), (2, "c", 0.1), (None, "d", 5.0),
+         (None, "e", 1.0), (None, "f", None)],
         "doc_id LONG, text STRING, q DOUBLE")
     pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a LONG, id_b LONG")
     fam = dedup_families(docs, pairs, quality="q").toPandas()
-    assert len(fam) == 4                       # null-key row retained
+    assert len(fam) == 6                       # null-key rows retained
     trio = fam[fam.doc_id.isin([0, 1, 2])]
     assert trio.family_id.nunique() == 1 and (trio.family_size == 3).all()
     # canonical = best scored doc (1), NOT the null-quality doc (0)
     assert list(trio[trio.is_canonical].doc_id) == [1]
-    nullrow = fam[fam.doc_id.isna()]
-    assert len(nullrow) == 1
-    assert bool(nullrow.is_canonical.iloc[0])
-    assert int(nullrow.family_size.iloc[0]) == 1
+    # EVERY null-key row is its own singleton family (r4 ADVICE: grouping
+    # them would make one NULL family with three "canonicals")
+    nullrows = fam[fam.doc_id.isna()]
+    assert len(nullrows) == 3
+    assert nullrows.is_canonical.all()
+    assert (nullrows.family_size == 1).all()
 
 
 def test_char_ngram_lm_scores_in_domain_text_higher(spark):
