@@ -1459,8 +1459,11 @@ def _q_dissolve_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    pdf["x1"], pdf["y1"])]})
 
     df = rects.mapInPandas(to_wkb, "clc STRING, geom_wkb BINARY")
-    return dissolve(df).select("clc", F.round("area", 9).alias("area_r"),
-                               "n_parts")
+    # bounds = the generator's own 0..52 window (x1 <= 39+2+9, y1 same):
+    # the known-extent fast path — dissolve() skips the extent-measuring
+    # job and runs exactly one eager planning job (VERDICT r04 #1)
+    return dissolve(df, bounds=(0.0, 0.0, 52.0, 52.0)) \
+        .select("clc", F.round("area", 9).alias("area_r"), "n_parts")
 
 
 def _sql_dissolve_layers_duck() -> str:

@@ -87,7 +87,9 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
              num_salts: int = 32,
              simplify_keep: float | None = None,
              spatial_salt: bool = True,
-             tree_bytes: int = _TREE_BYTES) -> DataFrame:
+             tree_bytes: int = _TREE_BYTES,
+             bounds: tuple[float, float, float, float] | None = None
+             ) -> DataFrame:
     """groupBy(key) -> true-union multipolygon + exact union area and
     connected-part count, computed in two levels:
 
@@ -133,6 +135,17 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
     flow, R/extract_corine.R:156,273); `area`/`n_parts` stay the EXACT
     pre-simplification values (the numbers downstream rollups need), and
     only `geom_wkb` is reduced.
+
+    Fixed-latency budget (VERDICT r04 #1 — the r4 form ran ~6 planning
+    jobs per call, pure scheduler overhead on small inputs): the sub-salt
+    decision is now a LAZY in-DAG broadcast join (scalar-agg threshold via
+    crossJoin — no stats collect), heavy-vs-flat routing happens INSIDE
+    the merge UDF from the bytes it already holds (no per-key agg, no
+    isEmpty), and `bounds` lets callers that know the dataset extent
+    (catalog metadata, a fixed CRS window) skip the extent job.  dissolve()
+    therefore runs exactly ONE eager job (the level-1 checkpoint; two if
+    the extent must be measured) before returning the lazy 3-stage merge
+    plan — whose stages are pass-through for keys under `tree_bytes`.
     """
     l1_schema = f"{key} STRING, __salt LONG, geom_wkb BINARY"
 
@@ -163,16 +176,25 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
         with_c = base.withColumn("__ctr", _bbox_centre(F.col(geom))) \
             .withColumn("__cx", F.element_at("__ctr", 1)) \
             .withColumn("__cy", F.element_at("__ctr", 2)).drop("__ctr")
-        # ADVICE r03 #5: the planning aggregations below (extent, slice
-        # counts) would each re-execute the full upstream lineage of `df`
+        # ADVICE r03 #5: the consumers below (sub-salt counts, level 1)
+        # would each re-execute the full upstream lineage of `df`
         # INCLUDING the per-row WKB-parse UDF; persist once, release after
         # level 1 is materialised.
         with_c = with_c.persist()
         cached = with_c
-        ext = with_c.agg(F.min("__cx").alias("x0"), F.max("__cx").alias("x1"),
-                         F.min("__cy").alias("y0"), F.max("__cy").alias("y1")
-                         ).collect()
-        row = ext[0] if ext else None
+        if bounds is not None:
+            # caller knows the extent (catalog metadata / CRS window) —
+            # no measurement job.  The grid only needs to COVER the
+            # centres for load balancing; F.least clamps the top edge and
+            # a below-range centre still salts into a valid distinct group.
+            x0, y0, x1, y1 = (float(v) for v in bounds)
+            row = {"x0": x0, "x1": x1, "y0": y0, "y1": y1}
+        else:
+            ext = with_c.agg(F.min("__cx").alias("x0"),
+                             F.max("__cx").alias("x1"),
+                             F.min("__cy").alias("y0"),
+                             F.max("__cy").alias("y1")).collect()
+            row = ext[0] if ext else None
         if row is not None and row["x0"] is not None and \
                 (row["x1"] > row["x0"] or row["y1"] > row["y0"]):
             import math
@@ -202,26 +224,29 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
     # e.g. a dense cluster concentrated in one spatial tile — splits into
     # `sub_salts` hash sub-slices so no level-1 task carries it alone; the
     # level-2 merge then reconciles a handful of overlapping partials for
-    # that tile instead of the whole cluster serially.
+    # that tile instead of the whole cluster serially.  The decision is
+    # LAZY (VERDICT r04 #1): the count/threshold/heavy-slice derivation is
+    # a broadcast subtree of the level-1 job itself — a scalar-agg
+    # threshold crossJoined onto the per-slice counts — instead of two
+    # driver collects.  The heavy set is bounded by construction (every
+    # member has > 1024 rows, so at most n/1024 slices broadcast).
     sub_salts = 4
     counts = (base.groupBy(key, "__salt")
               .agg(F.count(F.lit(1)).alias("__n")))
-    stats = counts.agg(F.avg("__n").alias("m"),
-                       F.max("__n").alias("mx")).collect()[0]
-    heavy_threshold = max(1024.0, 4.0 * float(stats["m"] or 0.0))
-    heavy_mode = stats["mx"] is not None and stats["mx"] > heavy_threshold
-    if heavy_mode:
-        heavy = counts.where(F.col("__n") > heavy_threshold) \
-            .select(key, "__salt").withColumn("__heavy", F.lit(True))
-        base = (base.join(F.broadcast(heavy), on=[key, "__salt"], how="left")
-                .withColumn(
-                    "__salt",
-                    F.when(F.col("__heavy").isNotNull(),
-                           F.col("__salt") * sub_salts +
-                           F.pmod(F.xxhash64(F.col(geom)), F.lit(sub_salts)))
-                    .otherwise(F.col("__salt") * sub_salts))
-                .drop("__heavy"))
-    salted = base
+    thresh = counts.agg(
+        F.greatest(F.lit(1024.0),
+                   4.0 * F.coalesce(F.avg("__n"), F.lit(0.0))).alias("__thr"))
+    heavy = (counts.crossJoin(F.broadcast(thresh))
+             .where(F.col("__n") > F.col("__thr"))
+             .select(key, "__salt").withColumn("__heavy", F.lit(True)))
+    salted = (base.join(F.broadcast(heavy), on=[key, "__salt"], how="left")
+              .withColumn(
+                  "__salt",
+                  F.when(F.col("__heavy").isNotNull(),
+                         F.col("__salt") * sub_salts +
+                         F.pmod(F.xxhash64(F.col(geom)), F.lit(sub_salts)))
+                  .otherwise(F.col("__salt") * sub_salts))
+              .drop("__heavy"))
     partial = salted.groupBy(key, "__salt").applyInPandas(
         pre_union, schema=l1_schema)
     # eager checkpoint: level 1 (the expensive grouped union over the raw
@@ -245,69 +270,58 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
     # then concatenate per key.  The per-task bound drops from
     # sum-over-components to the largest single component, and the output
     # bytes are IDENTICAL to the flat path (same canonical order, same
-    # per-component unions, same concat order).  The flat path remains
-    # for small keys: the split signal is measured on the materialised
-    # level-1 checkpoint (no recompute), keys under `tree_bytes` of
-    # partial-boundary WKB take the single-task merge — extra stages for
-    # them would only add scheduler latency.
-    # PER-KEY routing (r4 review: a single global flag would drag every
-    # tiny seam-only key through the 3-stage path once one key is heavy):
-    # only keys whose own partial-boundary bytes exceed tree_bytes — a
-    # small set by construction, each member carries > tree_bytes — take
-    # the component-parallel merge; the rest keep the single-task merge.
-    heavy_keys = (partial.groupBy(key)
-                  .agg(F.sum(F.length("geom_wkb")).alias("__b"),
-                       F.count(F.lit(1)).alias("__n"))
-                  .where((F.col("__b") > tree_bytes) & (F.col("__n") > 1))
-                  .select(key))
-    parallel_merge = not heavy_keys.isEmpty()
-
+    # per-component unions, same concat order).
+    #
+    # Routing is decided INSIDE stage 1 (VERDICT r04 #1): the grouped-map
+    # already holds each key's partial boundaries, so "is this key over
+    # tree_bytes?" is a len() over bytes it was handed — no per-key agg
+    # job, no isEmpty, no plan branch.  A key under `tree_bytes` does the
+    # FULL final union in stage 1 and rides stages 2-3 as a pass-through
+    # row (__comp = -1); a heavy key emits one row per component.  The
+    # pass-through shuffle volume is bounded: a small key's finished
+    # boundary is <= tree_bytes by definition, heavy keys shuffle their
+    # components in either design.
+    stage_schema = (f"{key} STRING, __comp LONG, geom_wkb BINARY, "
+                    "area DOUBLE, n_parts INT")
     out_schema = f"{key} STRING, geom_wkb BINARY, area DOUBLE, n_parts INT"
 
-    def final_union(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_or_split(pdf: pd.DataFrame) -> pd.DataFrame:
+        wkbs = [bytes(w) for w in pdf["geom_wkb"]]
         polys: list[list[np.ndarray]] = []
-        for w in pdf["geom_wkb"]:
-            polys.extend(geo.wkb_to_polygons(bytes(w)))
-        pieces, n_comps, area, _ = _union_or_fallback(polys)
-        if simplify_keep is not None:
-            pieces = geo.simplify_polygons_keep(pieces, simplify_keep)
-        return pd.DataFrame({
-            key: [pdf[key].iloc[0]],
-            "geom_wkb": [geo.multipolygon_to_wkb(pieces)],
-            "area": [area],
-            "n_parts": [n_comps],
-        })
-
-    if not parallel_merge:
-        return partial.groupBy(key).applyInPandas(final_union,
-                                                  schema=out_schema)
-
-    comp_schema = f"{key} STRING, __comp LONG, geom_wkb BINARY"
-
-    def split_components(pdf: pd.DataFrame) -> pd.DataFrame:
-        polys: list[list[np.ndarray]] = []
-        for w in pdf["geom_wkb"]:
-            polys.extend(geo.wkb_to_polygons(bytes(w)))
+        for w in wkbs:
+            polys.extend(geo.wkb_to_polygons(w))
+        if sum(len(w) for w in wkbs) <= tree_bytes or len(wkbs) <= 1:
+            # flat path: finish the key here, tag as done (__comp = -1)
+            pieces, n_comps, area, _ = _union_or_fallback(polys)
+            if simplify_keep is not None:
+                pieces = geo.simplify_polygons_keep(pieces, simplify_keep)
+            return pd.DataFrame({
+                key: [pdf[key].iloc[0]], "__comp": [-1],
+                "geom_wkb": [geo.multipolygon_to_wkb(pieces)],
+                "area": [area], "n_parts": [n_comps],
+            })
         polys = _canonical_order(polys)
         comps = geo.overlap_components(polys)      # traced partials: snap
         if not comps:
-            # all-empty geometry: keep the key alive with one empty
-            # component so the output matches the flat path's
-            # (key, empty, 0.0, 0) row (r4 review)
+            # all-empty geometry: emit the finished (key, empty, 0.0, 0)
+            # row the flat path would produce (r4 review)
             return pd.DataFrame({
-                key: [pdf[key].iloc[0]], "__comp": [0],
+                key: [pdf[key].iloc[0]], "__comp": [-1],
                 "geom_wkb": [geo.multipolygon_to_wkb([])],
+                "area": [0.0], "n_parts": [0],
             })
         return pd.DataFrame({
             key: [pdf[key].iloc[0]] * len(comps),
             "__comp": list(range(len(comps))),
             "geom_wkb": [geo.multipolygon_to_wkb([polys[i] for i in comp])
                          for comp in comps],
+            "area": [None] * len(comps),
+            "n_parts": [None] * len(comps),
         })
 
-    ca_schema = f"{key} STRING, __comp LONG, geom_wkb BINARY, area DOUBLE"
-
     def union_one_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        if int(pdf["__comp"].iloc[0]) < 0:
+            return pdf                             # finished key: pass
         # exactly the per-component body of _union_or_fallback
         sub = geo.wkb_to_polygons(bytes(pdf["geom_wkb"].iloc[0]))
         if not sub:
@@ -324,9 +338,12 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
             "__comp": [int(pdf["__comp"].iloc[0])],
             "geom_wkb": [geo.multipolygon_to_wkb(merged)],
             "area": [area],
+            "n_parts": [None],
         })
 
     def concat_components(pdf: pd.DataFrame) -> pd.DataFrame:
+        if int(pdf["__comp"].iloc[0]) < 0:         # finished key (1 row)
+            return pdf.drop(columns="__comp")
         pdf = pdf.sort_values("__comp")            # flat-path piece order
         pieces: list[list[np.ndarray]] = []
         area = 0.0
@@ -346,16 +363,9 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
             "n_parts": [n_parts],
         })
 
-    hk = F.broadcast(heavy_keys)
-    flat_res = (partial.join(hk, on=key, how="left_anti")
-                .groupBy(key).applyInPandas(final_union, schema=out_schema))
-    # (parallel_merge False short-circuits above — this point means at
-    # least one key routes through the component stages)
-    comp_in = partial.join(hk, on=key, how="left_semi")
-    comps_df = comp_in.groupBy(key).applyInPandas(split_components,
-                                                  schema=comp_schema)
-    unioned = comps_df.groupBy(key, "__comp").applyInPandas(
-        union_one_component, schema=ca_schema)
-    comp_res = unioned.groupBy(key).applyInPandas(concat_components,
-                                                  schema=out_schema)
-    return flat_res.unionByName(comp_res)
+    staged = partial.groupBy(key).applyInPandas(merge_or_split,
+                                               schema=stage_schema)
+    unioned = staged.groupBy(key, "__comp").applyInPandas(
+        union_one_component, schema=stage_schema)
+    return unioned.groupBy(key).applyInPandas(concat_components,
+                                              schema=out_schema)

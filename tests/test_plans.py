@@ -133,11 +133,13 @@ def test_lsh_sketch_is_arrow_batched(spark):
 
 def test_dissolve_plan_is_two_level(spark):
     """The dissolve plan stays two-level: the per-(key, salt) pre-union
-    runs EAGERLY behind a localCheckpoint (so planning jobs and downstream
-    actions never re-execute the raw-feature lineage — ADVICE r03 #5), and
-    the returned plan is the per-key final merge over that checkpoint.
+    runs EAGERLY behind a localCheckpoint (so downstream actions never
+    re-execute the raw-feature lineage — ADVICE r03 #5), and the returned
+    plan is the 3-stage merge (split-or-finish, per-component union,
+    concat) over that checkpoint — in-UDF routed, so there is no plan
+    branch, no per-key routing agg, and no isEmpty job (VERDICT r04 #1).
     A hot key's raw features therefore never land in a single task: the
-    final grouped-map reads pre-unioned (key, salt) partials only."""
+    merge grouped-maps read pre-unioned (key, salt) partials only."""
     from hexscape_spark import geo
     from hexscape_spark.dissolve import dissolve
     rows = [("A", bytearray(geo.rect_wkb(float(i), 0.0, i + 1.5, 1.0)))
@@ -145,9 +147,9 @@ def test_dissolve_plan_is_two_level(spark):
     df = spark.createDataFrame(rows, "clc STRING, geom_wkb BINARY")
     out = dissolve(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # final merge is the only LIVE grouped-map; its input is the
-    # checkpointed level-1 result, not the raw features
-    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    # the three merge stages are the only LIVE grouped-maps; their input
+    # is the checkpointed level-1 result, not the raw features
+    assert plan.count("FlatMapGroupsInPandas") == 3, plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     assert out.count() == 1
 
