@@ -64,6 +64,65 @@ LOAD_LIMIT = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_LIMIT", "2.0"))
 LOAD_WAIT_MAX_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "180"))
 
 
+def _total_cpu_jiffies() -> int:
+    """Busy jiffies across all CPUs (user+nice+system+irq+softirq+steal —
+    everything except idle/iowait) from /proc/stat."""
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    return sum(v[:3]) + sum(v[5:8])
+
+
+def _self_tree_jiffies() -> int:
+    """utime+stime+cutime+cstime summed over this process and every live
+    descendant (the Spark JVM and its Python workers).  cutime/cstime
+    fold in reaped children, so workers dying between samples still
+    count as OURS, not as external load."""
+    import os
+
+    ppid_of: dict[int, int] = {}
+    jiff: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        ppid_of[int(d)] = int(rest[1])
+        jiff[int(d)] = sum(int(rest[i]) for i in (11, 12, 13, 14))
+    mine = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppid_of.items():
+            if pp in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    return sum(jiff.get(p, 0) for p in mine)
+
+
+class _PassLoadMeter:
+    """Per-pass EXTERNAL load (VERDICT r04 #3): the r4 start-only gate
+    missed mid-run spikes, and a between-pass loadavg check would mostly
+    read our own JVM's decaying 1-min average.  Instead, each pass
+    measures total busy CPU minus our own process subtree — external
+    cores occupied while the pass ran — so a regressed per-query number
+    is attributable to box noise rather than code."""
+
+    def start(self) -> None:
+        self.t0 = time.time()
+        self.tot0 = _total_cpu_jiffies()
+        self.own0 = _self_tree_jiffies()
+
+    def stop(self) -> float:
+        dt = max(time.time() - self.t0, 1e-9)
+        hz = os.sysconf("SC_CLK_TCK")
+        ext = (_total_cpu_jiffies() - self.tot0) \
+            - (_self_tree_jiffies() - self.own0)
+        return max(0.0, ext / (dt * hz))
+
+
 def _wait_for_quiet_box() -> dict:
     """Block (bounded) until the 1-min load average drops under LOAD_LIMIT.
 
@@ -106,11 +165,15 @@ def _throughput(spark) -> dict:
     job().count()                       # warmup (codegen + parquet footers)
     best = 1e18
     reps = []
+    ext_cores = []
     n_cells = 0
+    meter = _PassLoadMeter()
     for _ in range(max(3, THROUGHPUT_REPS)):
+        meter.start()
         t0 = time.time()
         n_cells = job().count()
         dt = time.time() - t0
+        ext_cores.append(round(meter.stop(), 2))
         reps.append(round(dt, 3))
         best = min(best, dt)
     return {"pages_per_sec": round(THROUGHPUT_PAGES / best, 1),
@@ -118,6 +181,7 @@ def _throughput(spark) -> dict:
             "throughput_pages": THROUGHPUT_PAGES,
             "throughput_sec": round(best, 3),
             "throughput_reps_sec": reps,
+            "throughput_external_cores": ext_cores,
             "load_1min_after_throughput": round(os.getloadavg()[0], 2)}
 
 
@@ -139,7 +203,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     pass_totals: list[float] = []
-    for _ in range(max(1, REPS)):
+    pass_external_cores: list[float] = []
+    meter = _PassLoadMeter()
+    # up to 2 extra passes if a pass ran against external load, so the
+    # min-of-passes number usually includes at least one clean pass
+    max_passes = max(1, REPS) + 2
+    done = 0
+    while done < max(1, REPS) or (
+            done < max_passes
+            and all(x > LOAD_LIMIT for x in pass_external_cores)):
+        meter.start()
         t_all = time.time()
         for name in BENCH_QUERIES:
             t0 = time.time()
@@ -148,6 +221,8 @@ def main() -> None:
             dt = round(time.time() - t0, 4)
             timings[name] = min(timings.get(name, 1e18), dt)
         pass_totals.append(round(time.time() - t_all, 4))
+        pass_external_cores.append(round(meter.stop(), 2))
+        done += 1
     total = round(sum(timings.values()), 4)
     thr = _throughput(spark)
 
@@ -163,6 +238,8 @@ def main() -> None:
         "reps": max(1, REPS),
         "timing": "per-query min over reps in one JVM",
         "pass_totals": pass_totals,
+        "pass_external_cores": pass_external_cores,
+        "pass_load_ok": [x <= LOAD_LIMIT for x in pass_external_cores],
         **load_info,
         **thr,
     }))
