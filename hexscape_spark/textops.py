@@ -230,27 +230,46 @@ def stratified_sample_deterministic(df: DataFrame, rates: dict[str, float],
 
 def with_pack_index(df: DataFrame, window_tokens: int,
                     tokens: str = "n_tokens", key: str = "doc_id",
-                    out: str = "pack_id") -> DataFrame:
-    """GPT-style sequence packing: concatenate documents in a canonical
-    order (ascending `key`) and slice the token stream into fixed
-    `window_tokens` training windows.  Each document gets
+                    out: str = "pack_id", mode: str = "concat",
+                    docs_per_group: int = 4096) -> DataFrame:
+    """Sequence packing: assign documents to fixed `window_tokens`
+    training windows.  Each document gets
 
       * `pack_id`      — the window its FIRST token lands in
       * `pack_offset`  — its first token's offset within that window
       * `pack_spans`   — how many windows it straddles (1 = fits inside)
 
-    which is exactly the bookkeeping a packed-pretraining loader needs
-    (documents crossing a boundary continue in the next window, the
-    concat-and-slice regime of GPT/Llama pretraining).
+    which is exactly the bookkeeping a packed-pretraining loader needs.
 
-    Scale shape: one indexing.global_cumsum (range-partition + per-
-    partition window + driver offset map of one long per partition) —
-    never a single-partition global window.  Deterministic: the order is
-    the key order, not partition layout.
+    mode="concat" (default): GPT/Llama concat-and-slice — documents
+    concatenate in canonical `key` order and the token stream slices
+    into windows; documents crossing a boundary continue in the next
+    window (pack_spans > 1), padding is zero by construction.
+
+    mode="bin" (VERDICT r04 #5): NO-SPLIT bin packing — the SFT/finetune
+    regime where a document must never straddle a window.  Best-fit-
+    decreasing run exactly within hash-random groups of
+    ~`docs_per_group` documents (see _pack_bins — each group samples the
+    whole length distribution, so big docs still pair with small ones).
+    A document longer than W gets a dedicated pack with pack_spans =
+    ceil(len/W) (flagging the unpackable overflow); all packed rows
+    have pack_spans = 1 and pack_offset+len <= W, and padding is
+    minimised rather than zero.
+
+    Scale shape (both modes): one indexing.global_cumsum (range-
+    partition + per-partition window + driver offset map of one long per
+    partition) — never a single-partition global window.  Deterministic:
+    assignment is a pure function of (key, length), not partition
+    layout.
     """
     from .indexing import global_cumsum
 
     W = int(window_tokens)
+    if mode == "bin":
+        return _pack_bins(df, W, tokens, key, out,
+                          docs_per_group=docs_per_group)
+    if mode != "concat":
+        raise ValueError(f"unknown packing mode {mode!r}")
     # all-integer bookkeeping (r4 review): global_cumsum keeps LONG sums
     # exact, and window ids use integer DIV — double division would
     # silently shift pack ids past ~2^53 cumulative tokens
@@ -264,6 +283,86 @@ def with_pack_index(df: DataFrame, window_tokens: int,
                 F.expr(f"(__start + {tokens} - 1) DIV {W}") -
                 F.col(out) + F.lit(1), F.lit(1)).cast("long"))
             .drop("__end", "__start"))
+
+
+def _pack_bins(df: DataFrame, W: int, tokens: str, key: str,
+               out: str, docs_per_group: int = 4096) -> DataFrame:
+    """mode="bin" body of with_pack_index — distributed best-fit-
+    decreasing (the FFD/BFD family, 11/9-OPT quality bound; Johnson 1973
+    / Dósa 2007, public knowledge).
+
+    BFD is inherently sequential, so the distributed shape runs it
+    EXACTLY within bounded hash-random groups: documents hash (by key)
+    into groups of ~`docs_per_group`, and because a hash-random group is
+    a uniform sample of the corpus length distribution, per-group BFD
+    keeps the big-doc-with-small-doc pairing that makes the algorithm
+    beat naive first-fit (a length-SORTED chunking would put all the
+    near-window docs together and waste up to W/2 per pack — measured,
+    rejected).  Pack ids densify via one global_cumsum over per-group
+    pack counts; everything is a pure function of (key, length), so the
+    assignment is deterministic under any partitioning.
+    """
+    from .indexing import global_cumsum
+
+    n = df.count()
+    n_groups = max(1, -(-int(n) // int(docs_per_group)))
+    key_t = dict(df.dtypes)[key]
+    d = df.select(
+        F.col(key), F.col(tokens).cast("long").alias("__t"),
+        F.pmod(F.xxhash64(F.col(key)), F.lit(n_groups)).alias("__grp"))
+
+    pg_schema = (f"{key} {key_t}, __grp LONG, __lp LONG, "
+                 "pack_offset LONG, pack_spans LONG")
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        recs = sorted(zip(pdf[key], pdf["__t"]),
+                      key=lambda r: (-int(r[1]), r[0]))
+        # sorted (remaining, pack_idx): best fit = leftmost remaining>=t,
+        # ties to the lowest pack idx — fully deterministic
+        open_packs: list[tuple[int, int]] = []
+        npacks = 0
+        rows = []
+        for k, t in recs:
+            t = int(t)
+            if t > W:                         # oversize: dedicated pack
+                rows.append((k, npacks, 0, -(-t // W)))
+                npacks += 1
+                continue
+            i = bisect.bisect_left(open_packs, (t, -1))
+            if i == len(open_packs):          # nothing fits: new pack
+                open_packs.insert(
+                    bisect.bisect_left(open_packs, (W - t, npacks)),
+                    (W - t, npacks))
+                rows.append((k, npacks, 0, 1))
+                npacks += 1
+            else:
+                rem, pi = open_packs.pop(i)
+                open_packs.insert(
+                    bisect.bisect_left(open_packs, (rem - t, pi)),
+                    (rem - t, pi))
+                rows.append((k, pi, W - rem, 1))
+        grp = int(pdf["__grp"].iloc[0])
+        return pd.DataFrame(
+            {key: [r[0] for r in rows], "__grp": grp,
+             "__lp": [r[1] for r in rows],
+             "pack_offset": [r[2] for r in rows],
+             "pack_spans": [r[3] for r in rows]})
+
+    local = d.groupBy("__grp").applyInPandas(bfd, schema=pg_schema)
+    local = local.localCheckpoint(eager=True)   # feeds two consumers
+    # dense global pack ids: exclusive prefix of per-group pack counts
+    # (a distributed cumsum over ~n/docs_per_group rows — never a
+    # driver-side list)
+    gp = local.groupBy("__grp").agg((F.max("__lp") + 1).alias("__np"))
+    base = global_cumsum(gp, ["__grp"], "__np", out="__cum") \
+        .select("__grp", (F.col("__cum") - F.col("__np")).alias("__base"))
+    placed = (local.join(base, on="__grp")
+              .withColumn(out, (F.col("__base") + F.col("__lp"))
+                          .cast("long"))
+              .select(key, out, "pack_offset", "pack_spans"))
+    return df.join(placed, on=key)
 
 
 _HTML_SKIP = {"script", "style", "noscript", "template"}
@@ -386,26 +485,88 @@ def with_pii_scrubbed(df: DataFrame, text: str = "text",
     return df.withColumn(out, t)
 
 
+# Compact snapshot of the PUBLIC SUFFIX LIST's ICANN section, 2-label
+# rules only (publicsuffix.org, public knowledge; snapshot of the
+# stable ccTLD second-level families as published through 2025).
+# Registrable-domain extraction (VERDICT r04 #4): a host matching
+# `x.<suffix>` registers at three labels (example.co.uk), anything else
+# falls back to the PSL default rule of last-two-labels.  Limitations,
+# by design of a compact snapshot: 3-label rules (k12.ca.us),
+# wildcard rules (*.ck) and the PSL's PRIVATE section (github.io) are
+# approximated by the 2-label fallback.
+_PUBLIC_SUFFIX_2 = sorted(
+    f"{sld}.{cc}" for cc, slds in {
+        "uk": "co org me ltd plc net sch ac gov nhs police",
+        "au": "com net org edu gov asn id",
+        "nz": "co net org govt ac school geek gen kiwi maori",
+        "za": "co net org gov edu ac web",
+        "br": "com net org gov edu mil art blog eco",
+        "jp": "co ne or go ac ad ed gr lg",
+        "kr": "co ne or go ac re pe mil hs ms es sc kg",
+        "cn": "com net org gov edu ac mil",
+        "in": "co net org gov ac edu res gen firm ind mil nic",
+        "mx": "com net org gob edu",
+        "ar": "com net org gob edu int mil tur",
+        "tr": "com net org gov edu mil av dr pol bel k12 web gen tv name",
+        "il": "co net org gov ac muni idf k12",
+        "ua": "com net org gov edu in",
+        "pl": "com net org edu info waw mil biz",
+        "th": "co net or go ac in mi",
+        "id": "co net or go ac sch web my biz",
+        "sg": "com net org gov edu per",
+        "my": "com net org gov edu mil name",
+        "ph": "com net org gov edu ngo mil i",
+        "vn": "com net org gov edu int ac biz info name pro health",
+        "hk": "com net org gov edu idv",
+        "tw": "com net org gov edu mil idv game ebiz club",
+        "sa": "com net org gov edu med pub sch",
+        "eg": "com net org gov edu sci eun mil name info",
+        "ke": "co or ne go ac sc me mobi info",
+        "ng": "com net org gov edu sch name mobi mil i",
+        "gr": "com net org gov edu",
+        "it": "gov edu",
+        "at": "ac gv co or",
+        "es": "com nom org gob edu",
+        "pt": "com net org gov edu int publ nome",
+        "ro": "com org tm nt nom info rec arts firm store www",
+        "hu": "co org info priv",
+    }.items() for sld in slds.split())
+
+
 def with_url_features(df: DataFrame, url: str = "url") -> DataFrame:
     """URL structure features for corpus curation: full hostname,
-    path depth, TLD, and a query-string flag — the columns per-domain
-    policies key on (e.g. stratified_sample_deterministic(stratum=
-    'url_host') for per-domain mixing rates).  Pure JVM parse_url +
-    string expressions."""
-    # full hostname (NOT the registrable domain — a public-suffix list
-    # is out of scope; callers keying per-domain policies should be
-    # aware subdomains are separate strata), trailing dot normalised
+    registrable domain (eTLD+1 against the embedded public-suffix
+    snapshot), path depth, TLD, and a query-string flag — the columns
+    per-domain policies key on (e.g. stratified_sample_deterministic(
+    stratum='url_domain') for per-domain mixing rates, which treats
+    news.example.co.uk and blog.example.co.uk as ONE stratum).  Pure
+    JVM parse_url + string expressions; the suffix membership test is
+    one InSet over the ~200-entry snapshot."""
+    # full hostname, trailing dot normalised
     host = F.regexp_replace(
         F.lower(F.parse_url(F.col(url), F.lit("HOST"))), r"\.$", "")
     path = F.parse_url(F.col(url), F.lit("PATH"))
     # alphabetic TLDs only: IP-literal hosts ('...216.34') and dotless
     # hosts ('localhost') yield '' instead of numeric pseudo-TLDs
     tld = F.regexp_extract(host, r"\.([a-z][a-z0-9-]*)$", 1)
+    # registrable domain: F.get (never element_at — ANSI mode errors on
+    # out-of-range) + explicit arity guards
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.get(parts, n - 2), F.get(parts, n - 1))
+    last3 = F.concat_ws(".", F.get(parts, n - 3), F.get(parts, n - 2),
+                        F.get(parts, n - 1))
+    domain = F.when(host.isNull(), F.lit(None).cast("string")) \
+        .when(tld == "", F.lit("")) \
+        .when(last2.isin(_PUBLIC_SUFFIX_2),
+              F.when(n >= 3, last3).otherwise(F.lit(""))) \
+        .otherwise(last2)
     # empty segments dropped, so '//a' and 'a//b' count real segments
     depth = F.size(F.filter(F.split(F.coalesce(path, F.lit("")), "/"),
                             lambda seg: seg != F.lit("")))
     return (df
             .withColumn("url_host", host)
+            .withColumn("url_domain", domain)
             .withColumn("url_tld", tld)
             .withColumn("url_path_depth", depth.cast("int"))
             .withColumn("url_has_query",

@@ -736,6 +736,101 @@ def test_pack_index_concat_and_slice(spark):
     assert (got.pack_id + got.pack_spans - 1).max() == (total - 1) // W
 
 
+def test_pack_index_bin_mode_no_split_and_bounded_padding(spark):
+    """mode='bin' (VERDICT r04 #5): no document ever straddles a window
+    (pack_offset + len <= W for every packed row), pack assignment is
+    deterministic across partitionings and matches a serial best-fit-
+    decreasing reference, oversize docs get dedicated packs with
+    spans=ceil(len/W), and padding beats a naive in-order first-fit on
+    skewed lengths."""
+    import bisect
+    import collections
+
+    from hexscape_spark.textops import with_pack_index
+    W = 1024
+    rng = np.random.RandomState(11)
+    # skewed mix: many short, some near-window-size, a couple oversize
+    toks = ([int(t) for t in rng.randint(20, 180, size=200)] +
+            [int(t) for t in rng.randint(700, 1000, size=60)] +
+            [1500, 2500])
+    rng.shuffle(toks)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(toks)],
+                               "doc_id LONG, n_tokens LONG")
+    got = with_pack_index(df.repartition(7), W, mode="bin",
+                          docs_per_group=64).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got2 = with_pack_index(df.repartition(2), W, mode="bin",
+                           docs_per_group=64).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got.pack_id.values == got2.pack_id.values).all()
+    assert (got.pack_offset.values == got2.pack_offset.values).all()
+
+    # serial reference: the same per-group BFD + dense numbering (group
+    # ids from Spark's xxhash64, the one piece not recomputable in pure
+    # Python)
+    n_groups = -(-len(toks) // 64)
+    gmap = {r.doc_id: r.g for r in df.select(
+        "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups))
+        .alias("g")).collect()}
+    groups = collections.defaultdict(list)
+    for i, t in enumerate(toks):
+        groups[gmap[i]].append((i, t))
+    pack, offset, spans = {}, {}, {}
+    base = 0
+    for g in sorted(groups):
+        recs = sorted(groups[g], key=lambda r: (-r[1], r[0]))
+        open_packs = []
+        npacks = 0
+        for i, t in recs:
+            if t > W:
+                pack[i], offset[i], spans[i] = base + npacks, 0, -(-t // W)
+                npacks += 1
+                continue
+            spans[i] = 1
+            j = bisect.bisect_left(open_packs, (t, -1))
+            if j == len(open_packs):
+                pack[i], offset[i] = base + npacks, 0
+                bisect.insort(open_packs, (W - t, npacks))
+                npacks += 1
+            else:
+                rem, pi = open_packs.pop(j)
+                pack[i], offset[i] = base + pi, W - rem
+                bisect.insort(open_packs, (rem - t, pi))
+        base += npacks
+    for i in range(len(toks)):
+        assert got.loc[i, "pack_id"] == pack[i], i
+        assert got.loc[i, "pack_offset"] == offset[i], i
+        assert got.loc[i, "pack_spans"] == spans[i], i
+    # no-split invariant + oversize spans
+    for i, t in enumerate(toks):
+        if t <= W:
+            assert got.loc[i, "pack_spans"] == 1
+            assert got.loc[i, "pack_offset"] + t <= W, i
+        else:
+            assert got.loc[i, "pack_spans"] == -(-t // W)
+            assert got.loc[i, "pack_offset"] == 0
+    # dense pack ids 0..max with no gaps
+    ids = sorted(got.pack_id.unique())
+    assert ids == list(range(len(ids)))
+    # padding: grouped BFD beats naive in-order first-fit on this mix
+    tokmap = dict(enumerate(toks))
+    used = got[got.pack_spans == 1].groupby("pack_id").doc_id.apply(
+        lambda s: s.map(tokmap).sum())
+    n_packs = len(used)
+    pad_bin = sum(W - u for u in used)
+    cur = 0
+    naive_packs = 1
+    pad_naive = 0
+    for t in (t for t in toks if t <= W):
+        if cur + t > W:
+            pad_naive += W - cur
+            naive_packs += 1
+            cur = 0
+        cur += t
+    pad_naive += W - cur
+    assert pad_bin / (n_packs * W) < pad_naive / (naive_packs * W)
+
+
 def test_warc_ingest_roundtrip(spark, tmp_path):
     """WARC source format: deterministic member-per-record .warc.gz
     segments parse back byte-exactly through the binaryFile + mapInPandas
@@ -889,6 +984,37 @@ def test_pii_scrubbing_and_url_features(spark):
     assert ef.loc[1, "url_tld"] == "" and ef.loc[2, "url_tld"] == ""
     assert ef.loc[3, "url_host"] == "example.com"
     assert ef.loc[3, "url_tld"] == "com" and ef.loc[3, "url_path_depth"] == 2
+
+
+def test_url_registrable_domain_and_per_domain_sampling(spark):
+    """url_domain = eTLD+1 against the embedded ICANN public-suffix
+    snapshot (r4 VERDICT #4): co.uk/com.au-style hosts register at three
+    labels, flat TLDs at two, IP/dotless hosts and bare public suffixes
+    at none — and per-domain policies keyed on url_domain put every
+    subdomain of one registrant in ONE stratum."""
+    from hexscape_spark.textops import (stratified_sample_deterministic,
+                                        with_url_features)
+    urls = [(0, "https://News.Example.co.uk/a", "example.co.uk"),
+            (1, "https://blog.example.co.uk/b", "example.co.uk"),
+            (2, "https://shop.foo.com.au/", "foo.com.au"),
+            (3, "https://deep.sub.bar.ac.jp/x", "bar.ac.jp"),
+            (4, "https://sub.domain.io/page", "domain.io"),
+            (5, "http://example.org/", "example.org"),
+            (6, "http://co.uk/", ""),            # bare public suffix
+            (7, "http://93.184.216.34/p", ""),   # IP literal
+            (8, "http://localhost/x", ""),       # dotless
+            (9, "https://www.gov.uk/benefits", "www.gov.uk")]
+    df = spark.createDataFrame([(i, u) for i, u, _ in urls],
+                               "doc_id LONG, url STRING")
+    got = with_url_features(df).toPandas().set_index("doc_id")
+    for i, _, want in urls:
+        assert got.loc[i, "url_domain"] == want, (i, got.loc[i, "url_domain"])
+    # per-domain mixing: both example.co.uk subdomains are one stratum
+    feats = with_url_features(df)
+    kept = stratified_sample_deterministic(
+        feats, {"example.co.uk": 1.0}, key="doc_id", stratum="url_domain",
+        default_rate=0.0)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1]
 
 
 def test_dedup_families_null_quality_and_null_key(spark):
