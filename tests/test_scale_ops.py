@@ -1094,3 +1094,30 @@ def test_lm_score_vectorised_bit_identical_to_scalar(spark):
             vals = [logp.get(t[k:k + n], oov) for k in range(len(t) - n + 1)]
             want = sum(vals) / len(vals)
         assert got[i] == want, i                  # exact, not approx
+
+
+def test_bfs_distributed_path_matches_local(spark):
+    """bfs_hops' two regimes agree exactly: forcing local_edge_cap=0
+    routes the same graph through the iterative distributed loop, which
+    must produce the identical (node, hops) set as the bounded driver
+    BFS — including unreachable nodes (absent) and max_hops truncation."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from hexscape_spark.graph import bfs_hops
+    rng = np.random.RandomState(9)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 60, (140, 2))]
+    edf = spark.createDataFrame(edges, "Index LONG, Neighbour LONG")
+    # symmetric adjacency like the patches graph
+    edf = edf.unionByName(edf.select(F2.col("Neighbour").alias("Index"),
+                                     F2.col("Index").alias("Neighbour")))
+    src = spark.createDataFrame([(0,), (17,)], "Index LONG")
+    a = sorted((r.node, r.hops) for r in bfs_hops(edf, src).collect())
+    b = sorted((r.node, r.hops) for r in
+               bfs_hops(edf, src, local_edge_cap=0).collect())
+    assert a == b
+    c = sorted((r.node, r.hops) for r in
+               bfs_hops(edf, src, max_hops=2).collect())
+    d = sorted((r.node, r.hops) for r in
+               bfs_hops(edf, src, max_hops=2, local_edge_cap=0).collect())
+    assert c == d and max(h for _, h in c) <= 2
