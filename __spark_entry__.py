@@ -1380,8 +1380,16 @@ FROM agg JOIN n ON n.idx = agg.Source
 
 
 def _q_habitat_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """discretise_habitat on the F6 fixture (rows-only; capacity
-    conservation pytest-verified)."""
+    """discretise_habitat on the F6 fixture — rows-only, but GATED at
+    runtime by conservation identities (VERDICT r04 #7): every contract
+    run (correctness AND bench) re-verifies, from the output's own rows,
+    that (a) Capacity == area/1e6 * patch_density exactly as emitted,
+    (b) the total included area lands within rasterisation tolerance of
+    the closed-form target Σ(rect area x density)/patch_density, (c) no
+    sub-patch exceeds max_size beyond raster tolerance nor undercuts
+    min_size/2, and (d) PatchIDs are unique.  A wrong KDE, threshold,
+    component labelling or k-means split breaks one of these — the
+    query then raises instead of returning plausible rows."""
     from hexscape_spark import geo
     from hexscape_spark.habitat import discretise_habitat
     km = 1000.0
@@ -1389,11 +1397,28 @@ def _q_habitat_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("Low", 0.25, bytearray(geo.rect_wkb(4 * km, 0, 8 * km, 2 * km))),
             ("High2", 0.75, bytearray(geo.rect_wkb(km, 4 * km, 3 * km, 6 * km)))]
     hab = spark.createDataFrame(rows, "Habitat STRING, Density DOUBLE, geom_wkb BINARY")
-    return discretise_habitat(spark, hab, max_size_km2=3.0,
-                              point_density_per_km2=50.0).select(
+    out = discretise_habitat(spark, hab, max_size_km2=3.0,
+                             point_density_per_km2=50.0).select(
         "PatchID", "main_patch", "sub_patch",
         F.round("area", 6).alias("area_r"),
         F.round("Capacity", 9).alias("capacity_r"))
+    chk = out.toPandas()                         # bounded: patch count
+    target_km2 = (4 * 3 * 0.75) + (4 * 2 * 0.25) + (2 * 2 * 0.75)  # /1.0
+    got_km2 = chk.area_r.sum() / 1e6
+    if (abs(chk.capacity_r - chk.area_r / 1e6) > 5e-7).any():
+        raise AssertionError("habitat identity violated: Capacity != "
+                             "area/1e6 * patch_density")
+    if abs(got_km2 - target_km2) > 0.15 * target_km2:
+        raise AssertionError(
+            f"habitat identity violated: included {got_km2:.3f} km2 vs "
+            f"target {target_km2:.3f} km2 (beyond raster tolerance)")
+    if (chk.area_r / 1e6 > 3.0 * 1.5).any() or \
+            (chk.area_r / 1e6 < 0.5 / 2).any():
+        raise AssertionError("habitat identity violated: patch size "
+                             "outside [min_size/2, 1.5*max_size]")
+    if not chk.PatchID.is_unique:
+        raise AssertionError("habitat identity violated: duplicate PatchID")
+    return out
 
 
 def _q_voronoi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,15 +91,27 @@ def parse_warc_records(blob: bytes, gz: bool = True
             }
 
 
+# largest compressed segment a task will attempt: the format convention
+# is ~1 GB segments (CommonCrawl), and Spark's binaryFile ceiling is
+# 2 GB; a task holds one segment compressed + inflated + parsed, so an
+# oversized file must fail FAST with a clear message instead of OOMing
+# the executor mid-parse (VERDICT r04 #8)
+MAX_SEGMENT_BYTES = 2_000_000_000
+
+
 def read_warc(spark: SparkSession, path: str,
-              record_types: tuple[str, ...] = ("response",)) -> DataFrame:
+              record_types: tuple[str, ...] = ("response",),
+              max_segment_bytes: int = MAX_SEGMENT_BYTES) -> DataFrame:
     """DataFrame over `.warc.gz` segments under `path`.
 
     One segment file per task (`binaryFile` keeps whole files together,
     which is what WARC's member-per-record gzip framing wants); the
     record walk is a streaming parse, Arrow-batched out.  `record_types`
     prefilters (CC segments are ~1/3 'response', the rest request/
-    metadata records a corpus pipeline drops immediately).
+    metadata records a corpus pipeline drops immediately).  Segments
+    beyond `max_segment_bytes` raise ValueError naming the file — split
+    oversized archives upstream rather than streaming them through one
+    task.
     """
     types = set(record_types)
 
@@ -109,6 +121,12 @@ def read_warc(spark: SparkSession, path: str,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for seg_path, blob in zip(pdf["path"], pdf["content"]):
+                if len(blob) > max_segment_bytes:
+                    raise ValueError(
+                        f"WARC segment {seg_path} is {len(blob)} bytes, "
+                        f"over the {max_segment_bytes}-byte per-task "
+                        "bound (the ~1 GB segment convention); split it "
+                        "upstream")
                 gz = str(seg_path).endswith(".gz")
                 rows = []
                 for rec in parse_warc_records(bytes(blob), gz=gz):
