@@ -738,7 +738,31 @@ def _q_split_patches_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
     hole = np.array([[10, 10], [10, 20], [20, 20]], float)
     hl = geo.polygon_to_wkb([outer, hole])
     ph = generate_patches(spark, hl, hex_width=5.0, reference_point=(0.0, 40.0))
-    return ph.select("Index", "q", "r", F.round("area", 9).alias("area_r"))
+    out = ph.select("Index", "q", "r", F.round("area", 9).alias("area_r"))
+    # runtime conservation gate (r5, the habitat_patches pattern): the
+    # clipped patch areas must tile the landscape exactly — their sum is
+    # the pentagon-minus-hole area (closed-form shoelace), every patch
+    # fits one hex, and Index is the dense 1..n
+    chk = out.toPandas()                          # bounded: patch count
+    want = geo.polygons_area([[outer, hole]])    # orientation-free abs form
+    # the tiles may undercover by the min_prop sliver filter (P7 —
+    # fragments under 1% of a hex are dropped), never overcover, and the
+    # deficit is bounded by slivers: a lost or double-counted cell
+    # (hex_area(5) ~ 21.7) breaks this band
+    deficit = want - chk.area_r.sum()
+    if not (-1e-6 <= deficit <= 0.01 * P.hex_area(5.0) * len(chk)):
+        raise AssertionError(
+            f"split_patches identity violated: tiled area "
+            f"{chk.area_r.sum():.9f} vs landscape {want:.9f} "
+            f"(deficit {deficit:.9f} outside the sliver band)")
+    if (chk.area_r > P.hex_area(5.0) + 1e-9).any() or \
+            (chk.area_r <= 0).any():
+        raise AssertionError("split_patches identity violated: patch "
+                             "area outside (0, hex_area]")
+    if sorted(chk.Index) != list(range(1, len(chk) + 1)):
+        raise AssertionError("split_patches identity violated: Index "
+                             "not dense 1..n")
+    return out
 
 
 def _q_neighbours_square(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,11 +1459,29 @@ def _q_voronoi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, float(x), float(y)) for i, (x, y) in enumerate(pts)],
         "Index LONG, x DOUBLE, y DOUBLE")
     land = geo.rect_wkb(0, 0, 10, 10)
-    return discretise_voronoi_blocked(spark, land, points, block_size=2.0,
-                                      keep_geometry=False) \
+    out = discretise_voronoi_blocked(spark, land, points, block_size=2.0,
+                                     keep_geometry=False) \
         .select("Index", F.round("Area", 9).alias("area_r"),
                 F.round("centroid_x", 9).alias("cx_r"),
                 F.round("centroid_y", 9).alias("cy_r"))
+    # runtime conservation gate (r5, the habitat_patches pattern): the
+    # Voronoi cells of seeds inside a rectangle PARTITION it — areas sum
+    # to the land area, every seed has exactly one non-empty cell, and
+    # every area-weighted centroid lies inside the rectangle
+    chk = out.toPandas()                          # bounded: seed count
+    if abs(chk.area_r.sum() - 100.0) > 1e-6:
+        raise AssertionError(
+            f"voronoi identity violated: cell areas sum "
+            f"{chk.area_r.sum():.9f} != land area 100")
+    if sorted(chk.Index) != list(range(1, 101)) or (chk.area_r <= 0).any():
+        raise AssertionError("voronoi identity violated: not exactly one "
+                             "non-empty cell per seed")
+    inside = ((chk.cx_r >= 0) & (chk.cx_r <= 10) &
+              (chk.cy_r >= 0) & (chk.cy_r <= 10))
+    if not inside.all():
+        raise AssertionError("voronoi identity violated: centroid "
+                             "outside the landscape")
+    return out
 
 
 _DISSOLVE_N = 160
