@@ -98,8 +98,11 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 32,
         from pyspark.sql.types import IntegerType, StructField, StructType
         schema = StructType([StructField("node", node_type),
                              StructField("hops", IntegerType())])
+        # no sort: row order is irrelevant to a DataFrame, and NULL node
+        # ids (tolerated by the distributed joins) would break a mixed-
+        # type Python sort
         return edges.sparkSession.createDataFrame(
-            sorted(hops.items()), schema)
+            list(hops.items()), schema)
     visited = sources.select(F.col(src_col).alias("node"),
                              F.lit(0).alias("hops")).distinct() \
         .localCheckpoint()

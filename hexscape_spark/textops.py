@@ -304,11 +304,26 @@ def _pack_bins(df: DataFrame, W: int, tokens: str, key: str,
     """
     from .indexing import global_cumsum
 
-    n = df.count()
-    n_groups = max(1, -(-int(n) // int(docs_per_group)))
+    # persist: the input lineage is read three times (group-count,
+    # grouped BFD, final join-back) — the dissolve/dense_index ADVICE
+    # r03 #5 pattern.  The cache stays referenced by the returned plan;
+    # callers holding the result across many actions may unpersist the
+    # input themselves once materialised.
+    df = df.persist()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(key).isNull(), 1)).alias("nn")).collect()[0]
+    if stats["nn"]:
+        # key is the join-back identity: NULL keys would silently drop
+        # (NULL != NULL) or cross-multiply under a null-safe join
+        raise ValueError(
+            f"with_pack_index(mode='bin') requires non-null '{key}' "
+            f"values; found {stats['nn']} NULL rows")
+    n_groups = max(1, -(-int(stats["n"]) // int(docs_per_group)))
     key_t = dict(df.dtypes)[key]
     d = df.select(
-        F.col(key), F.col(tokens).cast("long").alias("__t"),
+        F.col(key),
+        F.coalesce(F.col(tokens).cast("long"), F.lit(0)).alias("__t"),
         F.pmod(F.xxhash64(F.col(key)), F.lit(n_groups)).alias("__grp"))
 
     pg_schema = (f"{key} {key_t}, __grp LONG, __lp LONG, "
@@ -678,6 +693,11 @@ def with_lm_score(df: DataFrame, model: dict, text: str = "text",
     # L2/L3 (measured faster than MB-scale blocks on a bandwidth-bound
     # box, and bounds memory on batches of huge documents)
     block_chars = 1 << 16
+    # the UDF closure must ship only the packed tables, not the Python
+    # dict they were built from (a 1M-gram model would otherwise ride
+    # along to every executor twice)
+    has_model = bool(logp)
+    del logp
 
     @F.pandas_udf("double")
     def score(texts: pd.Series) -> pd.Series:
@@ -687,7 +707,7 @@ def with_lm_score(df: DataFrame, model: dict, text: str = "text",
             cp = np.frombuffer("".join(ts).encode("utf-32-le"),
                                dtype=np.uint32)
             g = None
-            if len(cp) >= n and len(logp):
+            if len(cp) >= n and has_model:
                 m = len(cp) - n + 1
                 if packed:
                     c = cp.astype(np.uint64)
