@@ -114,12 +114,13 @@ def job_dedup(spark, args) -> None:
 
 def job_webtext(spark, args) -> None:
     """The CommonCrawl-shaped text pipeline: .warc.gz segments ->
-    response records -> HTML visible-text extraction -> token/quality/
-    language enrichment -> repetition filter -> exact dedup (keep
-    first).  `--pages` is the WARC glob; output is the clean corpus."""
+    response records -> HTML visible-text extraction -> corpus-wide
+    boilerplate LINE dedup (r5) -> token/quality/language enrichment ->
+    repetition filter -> exact dedup (keep first).  `--pages` is the
+    WARC glob; output is the clean corpus."""
     from pyspark.sql import functions as F
 
-    from .dedup import dedup_keep_first
+    from .dedup import dedup_keep_first, dedup_lines
     from .textops import (with_html_text, with_lang_guess,
                           with_quality_filter, with_token_count)
     from .warc import http_body, read_warc
@@ -136,6 +137,10 @@ def job_webtext(spark, args) -> None:
         .withColumn("html", _body(F.col("payload"))) \
         .persist()                     # one WARC parse for count + write
     txt = with_html_text(docs, "html").select("url", "warc_date", "text")
+    # boilerplate lines (nav menus, cookie banners, footers) survive only
+    # at their first corpus occurrence before quality stats are computed
+    txt = dedup_lines(txt, key="url") \
+        .drop("text").withColumnRenamed("text_line_deduped", "text")
     enriched = with_lang_guess(with_token_count(txt))
     filtered = with_quality_filter(enriched)
     clean = dedup_keep_first(filtered.withColumnRenamed("url", "doc_id"),

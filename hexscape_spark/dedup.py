@@ -423,3 +423,80 @@ def dedup_canonical(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     return (dedup_families(df, pairs, key=key, a=a, b=b, quality=quality)
             .where(F.col("is_canonical"))
             .drop("is_canonical", "family_id", "family_size"))
+
+
+def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
+                out: str = "text_line_deduped", min_line_chars: int = 1,
+                sep: str = "\n") -> DataFrame:
+    """Corpus-wide exact LINE deduplication — the RefinedWeb/C4-style
+    stage that strips boilerplate ("cookie notice", nav menus, footers)
+    repeated across pages: every line keeps exactly its FIRST occurrence
+    in the corpus (min `key`, then min line index within that document)
+    and is removed everywhere else, including repeats inside one
+    document.  Lines whose trimmed length is under `min_line_chars`
+    (blank separator lines by default) never participate — removing the
+    second empty line of every document would mangle formatting, not
+    deduplicate content.
+
+    Scale shape: posexplode lines -> ONE groupBy on the line CONTENT
+    itself (exact — no hash-collision false merges) picking the global
+    first occurrence as a combinable MIN(struct(key, idx)) with map-side
+    partial aggregation -> equi-join back -> per-document reassembly via
+    sort_array(collect_list(struct(idx, line))).  Requires non-null
+    unique `key` values (the reassembly join identity).  Output column
+    `out` carries the cleaned text; all other columns pass through.
+    """
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text), sep)).alias("__i", "__l"))
+    elig = F.length(F.trim(F.col("__l"))) >= min_line_chars
+    lines = lines.withColumn("__e", elig)
+    winners = (lines.where(F.col("__e"))
+               .groupBy("__l")
+               .agg(F.min(F.struct(F.col(key).alias("k"),
+                                   F.col("__i").alias("i"))).alias("__w")))
+    kept = (lines.join(winners, on="__l", how="left")
+            .where((~F.col("__e")) |
+                   ((F.col("__w.k") == F.col(key)) &
+                    (F.col("__w.i") == F.col("__i")))))
+    docs = kept.groupBy(key).agg(
+        F.concat_ws(sep, F.transform(
+            F.sort_array(F.collect_list(F.struct("__i", "__l"))),
+            lambda s: s["__l"])).alias(out))
+    return (df.join(docs, on=key, how="left")
+            .withColumn(out, F.coalesce(F.col(out), F.lit(""))))
+
+
+def contamination_flags(df: DataFrame, benchmark: DataFrame,
+                        key: str = "doc_id", text: str = "text",
+                        bench_text: str = "text", n: int = 13,
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3 appendix-C / Llama
+    n-gram-overlap rule, public knowledge): flag training documents that
+    share any word `n`-gram (default 13) with a held-out benchmark
+    corpus, so evaluation data can be excluded from training.  Adds
+    `contaminated_ngrams` (distinct colliding n-grams) and
+    `is_contaminated`.
+
+    Scale shape: the benchmark's distinct n-gram set broadcasts (eval
+    suites are tiny next to a training corpus; set
+    broadcast_benchmark=False for a huge blocklist and the join falls
+    back to a hash shuffle), the corpus side is explode -> equi-join ->
+    one count-distinct per document — never an all-pairs comparison.
+    Documents shorter than `n` words shingle to their whole text (the
+    _shingles short-doc rule), so an exact short-text match still flags.
+    """
+    gb = benchmark.select(F.explode(F.array_distinct(
+        _shingles(F.col(bench_text), n))).alias("__g")).distinct()
+    if broadcast_benchmark:
+        gb = F.broadcast(gb)
+    gd = df.select(F.col(key), F.explode(F.array_distinct(
+        _shingles(F.col(text), n))).alias("__g"))
+    hits = (gd.join(gb, on="__g")
+            .groupBy(key)
+            .agg(F.countDistinct("__g").alias("contaminated_ngrams")))
+    return (df.join(hits, on=key, how="left")
+            .withColumn("contaminated_ngrams",
+                        F.coalesce("contaminated_ngrams", F.lit(0)))
+            .withColumn("is_contaminated",
+                        F.col("contaminated_ngrams") > 0))

@@ -1136,3 +1136,54 @@ def test_warc_oversized_segment_guard(spark, tmp_path):
         read_warc(spark, p, max_segment_bytes=10).count()
     # and the same file parses fine under the default bound
     assert read_warc(spark, p).count() == 1
+
+
+def test_dedup_lines_first_occurrence_and_formatting(spark):
+    """Corpus-wide line dedup: boilerplate lines survive only at their
+    first (min key, min index) occurrence — including repeats inside one
+    document — while blank separator lines and unique content pass
+    through with order preserved."""
+    from hexscape_spark.dedup import dedup_lines
+    docs = [
+        (1, "Cookie notice\nUnique alpha\n\nCookie notice\nFooter menu"),
+        (2, "Cookie notice\nUnique beta\n\nFooter menu"),
+        (3, "Unique gamma\n\nFooter menu\nCookie notice"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = dedup_lines(df).toPandas().set_index("doc_id")
+    # doc 1 keeps the FIRST Cookie notice + Footer menu, loses the
+    # in-document repeat; the blank separator stays
+    assert got.loc[1, "text_line_deduped"] == \
+        "Cookie notice\nUnique alpha\n\nFooter menu"
+    # later docs lose both boilerplate lines, keep blanks + unique
+    assert got.loc[2, "text_line_deduped"] == "Unique beta\n"
+    assert got.loc[3, "text_line_deduped"] == "Unique gamma\n"
+    # deterministic under partitioning
+    got2 = dedup_lines(df.repartition(3)).toPandas().set_index("doc_id")
+    assert (got2["text_line_deduped"].sort_index() ==
+            got["text_line_deduped"].sort_index()).all()
+
+
+def test_contamination_flags_ngram_overlap(spark):
+    """Decontamination: documents sharing a 13-word n-gram with the
+    benchmark flag with the right distinct-gram count; clean documents
+    and sub-n near-misses stay clean; short benchmark rows flag only on
+    exact whole-text matches."""
+    from hexscape_spark.dedup import contamination_flags
+    span = " ".join(f"w{i}" for i in range(13))          # 13-word span
+    docs = [
+        (0, "intro text " + span + " trailing words here"),
+        (1, "totally unrelated content about hexagons and spark plans"),
+        (2, " ".join(f"w{i}" for i in range(12)) + " different tail"),
+        (3, "short quiz answer"),
+    ]
+    bench = [(0, "question preamble " + span + " answer choices"),
+             (1, "short quiz answer")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    bdf = spark.createDataFrame(bench, "bench_id LONG, text STRING")
+    got = contamination_flags(df, bdf).toPandas().set_index("doc_id")
+    assert bool(got.loc[0, "is_contaminated"])
+    assert got.loc[0, "contaminated_ngrams"] == 1
+    assert not bool(got.loc[1, "is_contaminated"])
+    assert not bool(got.loc[2, "is_contaminated"])       # only 12 shared
+    assert bool(got.loc[3, "is_contaminated"])           # exact short hit
