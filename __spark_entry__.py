@@ -188,9 +188,50 @@ def _sql_events_hour_rollup_duck() -> str:
         "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')")
 
 
-def _sql_fingerprint_docs() -> str:
-    return ("SELECT doc_id, SUBSTRING(md5(text), 1, 16) AS fingerprint "
-            "FROM documents")
+def _q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE dedup (dedup.dedup_lines, the RefinedWeb/C4
+    boilerplate-stripping stage) — ORACLE-GATED: the fixture derives
+    multi-line documents deterministically (8-word lines via the same
+    RE2-safe regex on both engines, plus a shared boilerplate header and
+    footer every document carries), so DuckDB reproduces the exact
+    first-occurrence semantics — winner per line content, in-document
+    repeats removed, per-document reassembly in line order — with a
+    window + string_agg.  Only doc 0 keeps the boilerplate lines."""
+    _views(spark, sf_dir)
+    from hexscape_spark.dedup import dedup_lines
+    lined = F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(F.lit("cookie notice all rights reserved\n"), lined,
+                 F.lit("\nfooter menu contact us")).alias("text"))
+    return (dedup_lines(docs, key="doc_id")
+            .select("doc_id",
+                    F.col("text_line_deduped").alias("text_dedup")))
+
+
+_SQL_LINE_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         'cookie notice all rights reserved' || chr(10) ||
+         regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') ||
+         chr(10) || 'footer menu contact us' AS text
+  FROM documents),
+arrs AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+lines AS (SELECT doc_id, unnest(arr) AS l,
+                 unnest(range(1, len(arr)+1)) AS i FROM arrs),
+elig AS (SELECT doc_id, i, l, length(trim(l)) >= 1 AS e FROM lines),
+kept AS (
+  SELECT doc_id, i, l FROM elig WHERE NOT e
+  UNION ALL
+  SELECT doc_id, i, l FROM (
+    SELECT doc_id, i, l,
+           ROW_NUMBER() OVER (PARTITION BY l ORDER BY doc_id, i) AS rn
+    FROM elig WHERE e) w WHERE rn = 1),
+agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text_dedup
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(agg.text_dedup, '') AS text_dedup
+FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
 
 
 def _sql_orders_priority_share() -> str:
@@ -532,12 +573,17 @@ GROUP BY content_hash HAVING COUNT(*) > 1
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/quality stats + the portable document fingerprint in ONE
+    slot (r5: fingerprint_docs merged in — same documents scan — to
+    fund line_dedup_docs under the 50-entry cap)."""
     _views(spark, sf_dir)
     from hexscape_spark.textops import (with_bpe_token_count,
                                         with_quality_score)
     d = with_bpe_token_count(with_quality_score(spark.table("documents")))
     return d.select("doc_id", "n_tokens", "n_bpe_tokens", "n_chars_q",
-                    "avg_token_len", "quality")
+                    "avg_token_len", "quality",
+                    F.substring(F.md5(F.encode(F.col("text"), "UTF-8")),
+                                1, 16).alias("fingerprint"))
 
 
 def _sql_token_stats_duck() -> str:
@@ -547,7 +593,8 @@ def _sql_token_stats_duck() -> str:
         "SELECT doc_id, n_tokens, n_chars_q,",
         "SELECT doc_id, n_tokens, "
         f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
-        "AS n_bpe_tokens, n_chars_q,").replace(
+        "AS n_bpe_tokens, n_chars_q, "
+        "SUBSTRING(md5(text), 1, 16) AS fingerprint,").replace(
         "  SELECT doc_id,",
         "  SELECT doc_id, text,")
 
@@ -1689,7 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_share": _sqlq(_sql_orders_priority_share),
         "region_nation_counts": _sqlq(_sql_region_nation_counts),
         "supplier_nation_rollup": _sqlq(_sql_supplier_nation_rollup),
-        "fingerprint_docs": _sqlq(_sql_fingerprint_docs),
+        "line_dedup_docs": _q_line_dedup_docs,
         "semi_join_orders": _q_semi_join_orders,
         "full_outer_lang_source": _q_full_outer_lang_source,
         "regex_source_filter": _q_regex_source_filter,
@@ -1745,7 +1792,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_share": _sql_orders_priority_share(),
         "region_nation_counts": _sql_region_nation_counts(),
         "supplier_nation_rollup": _sql_supplier_nation_rollup(),
-        "fingerprint_docs": _sql_fingerprint_docs(),
+        "line_dedup_docs": _SQL_LINE_DEDUP,
         "semi_join_orders": _SQL_SEMI_JOIN,
         "full_outer_lang_source": _SQL_FULL_OUTER_GRID,
         "regex_source_filter": _SQL_REGEX_FILTER,
