@@ -560,14 +560,28 @@ def _sql_lang_guess_dist() -> str:
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 exact dedup — with PLANTED duplicates (r5): the raw documents
+    table has no exact duplicates at test SF, so the original query
+    passed vacuously with 0 rows on both engines.  Every doc_id % 5 == 0
+    document now re-enters under doc_id + 10000 (a deterministic mirror
+    both engines construct identically), so the hash-groupBy must find
+    exactly those duplicate families, each keeping the original id."""
     _views(spark, sf_dir)
     from hexscape_spark.dedup import exact_duplicates
-    return exact_duplicates(spark.table("documents"))
+    docs = spark.table("documents").select("doc_id", "text")
+    mirrored = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return exact_duplicates(mirrored)
 
 
 _SQL_DEDUP_EXACT = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
 SELECT content_hash, COUNT(*) AS n_dupes, MIN(doc_id) AS keep_id
-FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) t
+FROM (SELECT doc_id, md5(text) AS content_hash FROM docs) t
 GROUP BY content_hash HAVING COUNT(*) > 1
 """
 
