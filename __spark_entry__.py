@@ -539,24 +539,39 @@ GROUP BY source
 """
 
 
-def _q_lang_guess_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID distribution (textops.with_lang_guess)."""
+def _q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.contamination_flags, the
+    GPT-3/Llama 13-gram rule) — ORACLE-GATED (r5): documents with
+    doc_id < 20 act as the held-out benchmark, so DuckDB reproduces the
+    whole pipeline independently — the same lowercased whitespace
+    shingling (incl. the short-doc whole-text rule), the distinct
+    benchmark gram set, and the per-document distinct-collision count.
+    The benchmark docs flag themselves; everything else flags only on a
+    genuine 13-gram collision."""
     _views(spark, sf_dir)
-    from hexscape_spark.textops import with_lang_guess
-    d = with_lang_guess(spark.table("documents"))
-    return d.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n"))
+    from hexscape_spark.dedup import contamination_flags
+    docs = spark.table("documents").select("doc_id", "text")
+    bench = docs.where("doc_id < 20")
+    return contamination_flags(docs, bench, n=13).select(
+        "doc_id", "contaminated_ngrams", "is_contaminated")
 
 
-def _sql_lang_guess_dist() -> str:
-    from hexscape_spark.textops import LANG_MARKERS
-    case = "CASE"
-    for lang, markers in LANG_MARKERS.items():
-        cond = " OR ".join(
-            f"(' ' || text || ' ') LIKE '% {m} %'" for m in markers)
-        case += f" WHEN {cond} THEN '{lang}'"
-    case += " ELSE 'und' END"
-    return (f"SELECT {case} AS lang_guess, COUNT(*) AS n "
-            "FROM documents GROUP BY 1")
+_SQL_CONTAMINATION = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+           FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(w) >= 13
+        THEN [array_to_string(w[i:i+12], ' ') FOR i IN range(1, len(w) - 11)]
+        ELSE [array_to_string(w, ' ')] END AS gs FROM w),
+dg AS (SELECT DISTINCT doc_id, g
+       FROM (SELECT doc_id, unnest(gs) AS g FROM sh) u),
+bg AS (SELECT DISTINCT g FROM dg WHERE doc_id < 20),
+hits AS (SELECT dg.doc_id, COUNT(DISTINCT dg.g) AS n_hits
+         FROM dg JOIN bg ON dg.g = bg.g GROUP BY dg.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS contaminated_ngrams,
+       COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,16 +647,29 @@ FROM (
 
 
 def _q_lang_dist_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 tally by (source, lang) — now also grouped by the stopword-
+    marker language GUESS (r5: lang_guess_dist merged in — the finer
+    grouping subsumes the old 1-column distribution, freeing a slot for
+    contamination_docs under the 50-entry cap)."""
     _views(spark, sf_dir)
-    return (spark.table("documents").groupBy("source", "lang")
+    from hexscape_spark.textops import with_lang_guess
+    return (with_lang_guess(spark.table("documents"))
+            .groupBy("source", "lang", "lang_guess")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("n_chars").alias("sum_chars")))
 
 
-_SQL_LANG_DIST = """
-SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-FROM documents GROUP BY source, lang
-"""
+def _sql_lang_dist() -> str:
+    from hexscape_spark.textops import LANG_MARKERS
+    case = "CASE"
+    for lang, markers in LANG_MARKERS.items():
+        cond = " OR ".join(
+            f"(' ' || text || ' ') LIKE '% {m} %'" for m in markers)
+        case += f" WHEN {cond} THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return (f"SELECT source, lang, {case} AS lang_guess, COUNT(*) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1, 2, 3")
 
 
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1757,7 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landcover_regrouped": _q_landcover_regrouped,
         # text / dedup / similarity
         "dedup_exact": _q_dedup_exact,
-        "lang_guess_dist": _q_lang_guess_dist,
+        "contamination_docs": _q_contamination_docs,
         "token_stats": _q_token_stats,
         "lang_dist_by_source": _q_lang_dist_by_source,
         "knn_cosine": _q_knn_cosine,
@@ -1820,9 +1848,9 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": _SQL_NO_ORDERS,
         "user_event_gaps": _SQL_EVENT_GAPS,
         "dedup_exact": _SQL_DEDUP_EXACT,
-        "lang_guess_dist": _sql_lang_guess_dist(),
+        "contamination_docs": _SQL_CONTAMINATION,
         "token_stats": _sql_token_stats_duck(),
-        "lang_dist_by_source": _SQL_LANG_DIST,
+        "lang_dist_by_source": _sql_lang_dist(),
         "knn_cosine": _SQL_KNN,
         "label_stats": _SQL_LABEL_STATS,
         "minhash_pairs": _sql_minhash_pairs_duck(),

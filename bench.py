@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "top_order_per_cust",
     "dedup_exact",
     "token_stats",
-    "lang_guess_dist",
+    "lang_dist_by_source",
     "knn_cosine",
     "minhash_pairs",
     "ngram_jaccard",
