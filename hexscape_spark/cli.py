@@ -138,9 +138,17 @@ def job_webtext(spark, args) -> None:
         .persist()                     # one WARC parse for count + write
     txt = with_html_text(docs, "html").select("url", "warc_date", "text")
     # boilerplate lines (nav menus, cookie banners, footers) survive only
-    # at their first corpus occurrence before quality stats are computed
-    txt = dedup_lines(txt, key="url") \
-        .drop("text").withColumnRenamed("text_line_deduped", "text")
+    # at their first corpus occurrence before quality stats are computed.
+    # dedup_lines needs a UNIQUE key and real crawls repeat URLs (re-crawls,
+    # records with no WARC-Target-URI): drop byte-identical re-fetches of a
+    # URL first, then key on url#content-hash — unique by construction
+    txt = (txt.groupBy("url", "text")
+           .agg(F.min("warc_date").alias("warc_date"))  # deterministic
+           .withColumn("__doc_key", F.concat_ws(
+               "#", F.col("url"), F.xxhash64("text").cast("string"))))
+    txt = dedup_lines(txt, key="__doc_key") \
+        .drop("text", "__doc_key") \
+        .withColumnRenamed("text_line_deduped", "text")
     enriched = with_lang_guess(with_token_count(txt))
     filtered = with_quality_filter(enriched)
     clean = dedup_keep_first(filtered.withColumnRenamed("url", "doc_id"),

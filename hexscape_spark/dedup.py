@@ -442,13 +442,22 @@ def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
     itself (exact — no hash-collision false merges) picking the global
     first occurrence as a combinable MIN(struct(key, idx)) with map-side
     partial aggregation -> equi-join back -> per-document reassembly via
-    sort_array(collect_list(struct(idx, line))).  Requires non-null
-    unique `key` values (the reassembly join identity).  Output column
-    `out` carries the cleaned text; all other columns pass through.
+    sort_array(collect_list(struct(idx, line))).  The input is persisted
+    for the duration of the plan (three branches read it: winner agg,
+    keep join, reassembly join — an upstream extraction UDF would
+    otherwise run three times).  Requires non-null unique `key` values
+    (the reassembly join identity).  `sep` is a LITERAL separator
+    (escaped before the regex split, so sep='.' or '|' splits on the
+    character, not on a regex).  Output column `out` carries the cleaned
+    text; all other columns pass through.
     """
+    import re as _re
+
+    df = df.persist()
+    sep_rx = _re.sub(r"([\\.\[\]{}()*+\-?^$|])", r"\\\1", sep)
     lines = df.select(
         F.col(key),
-        F.posexplode(F.split(F.col(text), sep)).alias("__i", "__l"))
+        F.posexplode(F.split(F.col(text), sep_rx)).alias("__i", "__l"))
     elig = F.length(F.trim(F.col("__l"))) >= min_line_chars
     lines = lines.withColumn("__e", elig)
     winners = (lines.where(F.col("__e"))

@@ -1162,6 +1162,14 @@ def test_dedup_lines_first_occurrence_and_formatting(spark):
     got2 = dedup_lines(df.repartition(3)).toPandas().set_index("doc_id")
     assert (got2["text_line_deduped"].sort_index() ==
             got["text_line_deduped"].sort_index()).all()
+    # sep is a LITERAL separator, not a regex: '.' must split on the
+    # period character, never on every character (r5 review)
+    dotted = spark.createDataFrame(
+        [(1, "alpha.beta.alpha"), (2, "beta.gamma")],
+        "doc_id LONG, text STRING")
+    dd = dedup_lines(dotted, sep=".").toPandas().set_index("doc_id")
+    assert dd.loc[1, "text_line_deduped"] == "alpha.beta"
+    assert dd.loc[2, "text_line_deduped"] == "gamma"
 
 
 def test_contamination_flags_ngram_overlap(spark):
