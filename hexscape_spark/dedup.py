@@ -495,6 +495,7 @@ def contamination_flags(df: DataFrame, benchmark: DataFrame,
     Documents shorter than `n` words shingle to their whole text (the
     _shingles short-doc rule), so an exact short-text match still flags.
     """
+    df = df.persist()        # read twice: gram explode + final join-back
     gb = benchmark.select(F.explode(F.array_distinct(
         _shingles(F.col(bench_text), n))).alias("__g")).distinct()
     if broadcast_benchmark:
