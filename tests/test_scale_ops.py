@@ -1195,3 +1195,32 @@ def test_contamination_flags_ngram_overlap(spark):
     assert not bool(got.loc[1, "is_contaminated"])
     assert not bool(got.loc[2, "is_contaminated"])       # only 12 shared
     assert bool(got.loc[3, "is_contaminated"])           # exact short hit
+
+
+def test_dedup_lines_randomized_serial_parity(spark):
+    """dedup_lines == a serial first-occurrence reference on a randomized
+    100-doc corpus drawn from a small line pool (heavy duplication, empty
+    lines, repeated lines within documents, empty documents)."""
+    import random
+
+    from hexscape_spark.dedup import dedup_lines
+    rng = random.Random(21)
+    pool = [f"line {i} content" for i in range(30)] + ["", "   "]
+    docs = []
+    for d in range(100):
+        k = rng.randint(0, 6)
+        docs.append((d, "\n".join(rng.choice(pool) for _ in range(k))))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = dedup_lines(df.repartition(5)).toPandas() \
+        .set_index("doc_id")["text_line_deduped"]
+
+    seen = set()
+    for d, t in docs:
+        kept = []
+        for ln in t.split("\n"):
+            if len(ln.strip()) < 1:
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        assert got[d] == "\n".join(kept), d
