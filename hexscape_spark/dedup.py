@@ -427,7 +427,7 @@ def dedup_canonical(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
 
 def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
                 out: str = "text_line_deduped", min_line_chars: int = 1,
-                sep: str = "\n") -> DataFrame:
+                sep: str = "\n", hash_shuffle: bool = False) -> DataFrame:
     """Corpus-wide exact LINE deduplication — the RefinedWeb/C4-style
     stage that strips boilerplate ("cookie notice", nav menus, footers)
     repeated across pages: every line keeps exactly its FIRST occurrence
@@ -450,6 +450,14 @@ def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
     (escaped before the regex split, so sep='.' or '|' splits on the
     character, not on a regex).  Output column `out` carries the cleaned
     text; all other columns pass through.
+
+    `hash_shuffle=True` is the 100-TB trade: the winner determination
+    groups and joins on xxhash64(line) instead of the line text, so that
+    shuffle carries 8-byte keys rather than the whole corpus again (the
+    reassembly shuffle still moves the full text once — the output IS
+    text).  Identical results unless two distinct lines collide in
+    xxhash64 (~2^-64 per pair), which would merge their dedup classes —
+    the exact default keeps the oracle-grade semantics.
     """
     import re as _re
 
@@ -460,14 +468,20 @@ def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
         F.posexplode(F.split(F.col(text), sep_rx)).alias("__i", "__l"))
     elig = F.length(F.trim(F.col("__l"))) >= min_line_chars
     lines = lines.withColumn("__e", elig)
-    winners = (lines.where(F.col("__e"))
-               .groupBy("__l")
-               .agg(F.min(F.struct(F.col(key).alias("k"),
-                                   F.col("__i").alias("i"))).alias("__w")))
-    kept = (lines.join(winners, on="__l", how="left")
-            .where((~F.col("__e")) |
-                   ((F.col("__w.k") == F.col(key)) &
-                    (F.col("__w.i") == F.col("__i")))))
+    win_agg = F.min(F.struct(F.col(key).alias("k"),
+                             F.col("__i").alias("i"))).alias("__w")
+    is_winner = ((~F.col("__e")) |
+                 ((F.col("__w.k") == F.col(key)) &
+                  (F.col("__w.i") == F.col("__i"))))
+    if hash_shuffle:
+        winners = (lines.where(F.col("__e"))
+                   .groupBy(F.xxhash64("__l").alias("__g")).agg(win_agg))
+        kept = (lines.withColumn("__g", F.xxhash64("__l"))
+                .join(winners, on="__g", how="left")
+                .where(is_winner).drop("__g"))
+    else:
+        winners = lines.where(F.col("__e")).groupBy("__l").agg(win_agg)
+        kept = lines.join(winners, on="__l", how="left").where(is_winner)
     docs = kept.groupBy(key).agg(
         F.concat_ws(sep, F.transform(
             F.sort_array(F.collect_list(F.struct("__i", "__l"))),

@@ -1224,3 +1224,8 @@ def test_dedup_lines_randomized_serial_parity(spark):
                 seen.add(ln)
                 kept.append(ln)
         assert got[d] == "\n".join(kept), d
+    # the 100-TB hash_shuffle mode (8-byte winner-shuffle keys) produces
+    # identical output on collision-free input
+    goth = dedup_lines(df.repartition(5), hash_shuffle=True).toPandas() \
+        .set_index("doc_id")["text_line_deduped"]
+    assert (goth.sort_index() == got.sort_index()).all()
