@@ -1229,3 +1229,41 @@ def test_dedup_lines_randomized_serial_parity(spark):
     goth = dedup_lines(df.repartition(5), hash_shuffle=True).toPandas() \
         .set_index("doc_id")["text_line_deduped"]
     assert (goth.sort_index() == got.sort_index()).all()
+
+
+def test_stream_warc_equals_batch(spark, tmp_path):
+    """Streaming WARC ingest (availableNow over the binaryFile source)
+    produces exactly the batch reader's rows — one shared segment
+    walker, so schema, prefilter, byte bound and payload bytes agree."""
+    import os
+
+    from hexscape_spark.warc import read_warc, stream_warc, write_warc_gz
+    seg_dir = tmp_path / "segs"
+    os.makedirs(seg_dir)
+    for s in range(3):
+        recs = []
+        for i in range(25):
+            recs.append({
+                "record_type": "response" if i % 4 else "metadata",
+                "url": f"https://example.org/s{s}/d{i}",
+                "warc_date": f"2026-02-{(i % 27) + 1:02d}T00:00:00Z",
+                "content_type": "text/html",
+                "payload": f"<html>s{s} d{i} {'y' * (i * 5 % 60)}</html>"
+                           .encode()})
+        write_warc_gz(recs, str(seg_dir / f"seg{s}.warc.gz"))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (stream_warc(spark, str(seg_dir))
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas() \
+        .sort_values(["segment", "url"]).reset_index(drop=True)
+    want = read_warc(spark, str(seg_dir / "*.warc.gz")).toPandas() \
+        .sort_values(["segment", "url"]).reset_index(drop=True)
+    assert len(got) == len(want) == 3 * 18       # metadata prefiltered
+    for c in ("record_type", "url", "warc_date", "content_type"):
+        assert (got[c].values == want[c].values).all(), c
+    assert all(bytes(a) == bytes(b)
+               for a, b in zip(got.payload, want.payload))
