@@ -124,21 +124,36 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 32,
     return visited
 
 
+# edge/node count bound for the in-memory CC fast path — the same
+# explicit-cap bounded-driver pattern as bfs_hops/_HABITAT_DIM_CAP.
+# Covers the QUOTIENT graphs two-level grid CC produces (boundary-
+# proportional, tiny) and small dedup-pair sets; corpus-scale pair
+# graphs take the iterative distributed loop.
+CC_LOCAL_CAP = 2_000_000
+
+
 def connected_components(edges: DataFrame, a: str = "src", b: str = "dst",
                          nodes: DataFrame | None = None,
-                         max_rounds: int = 64) -> DataFrame:
+                         max_rounds: int = 64,
+                         local_cap: int = CC_LOCAL_CAP) -> DataFrame:
     """Distributed connected components over an arbitrary edge list
     (BIGINT node ids) -> (node, comp) where comp is the component's
     minimum node id.
 
-    Min-label propagation with pointer jumping: each round every node
-    takes the min of its own and its neighbours' labels, then labels
-    short-circuit through one label-of-label join — O(log diameter)
-    rounds of pure equi-joins, each localCheckpointed so round k never
-    replays rounds 1..k-1.  This is the generic form of
-    habitat.grid_components (which now delegates here) and the clustering
-    step of dedup.dedup_families (the C4/RefinedWeb-style "one canonical
-    document per duplicate family" pipeline stage).
+    A graph whose deduped edge list AND vertex set both fit `local_cap`
+    is collected once and solved with a driver-side union-find (r5 —
+    the iterative loop pays ~4 fixed job latencies per round, which
+    dominated the tiny quotient graphs habitat.grid_components feeds
+    here); larger graphs run min-label propagation with pointer
+    jumping: each round every node takes the min of its own and its
+    neighbours' labels, then labels short-circuit through one
+    label-of-label join — O(log diameter) rounds of pure equi-joins,
+    each localCheckpointed so round k never replays rounds 1..k-1.
+    Both regimes produce the identical min-node-id labelling (pinned by
+    test_connected_components_regimes_agree).  This is the generic form
+    of habitat.grid_components (which now delegates here) and the
+    clustering step of dedup.dedup_families (the C4/RefinedWeb-style
+    "one canonical document per duplicate family" pipeline stage).
 
     `nodes` optionally supplies isolated vertices (single-column `node`);
     by default the vertex set is the ids appearing in `edges`.
@@ -147,7 +162,46 @@ def connected_components(edges: DataFrame, a: str = "src", b: str = "dst",
         nodes = (edges.select(F.col(a).alias("node"))
                  .unionByName(edges.select(F.col(b).alias("node"))))
     nodes = nodes.select("node").distinct().localCheckpoint(eager=True)
-    sym = edges.select(F.col(a).alias("node"), F.col(b).alias("nbr"))
+    e0 = edges.select(F.col(a).alias("na"), F.col(b).alias("nb")) \
+        .distinct().localCheckpoint(eager=True)
+    n_edges = e0.count()
+    n_nodes = nodes.count()
+    if n_edges <= local_cap and n_nodes <= local_cap:
+        parent: dict = {r["node"]: r["node"] for r in nodes.collect()}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in e0.collect():
+            x, y = r["na"], r["nb"]
+            # NULL endpoints mirror the join semantics of the
+            # distributed loop: NULL never equi-joins, so such an edge
+            # connects nothing
+            if x is None or y is None or x not in parent or \
+                    y not in parent:
+                # endpoints outside `nodes` only arise when a caller
+                # passes an explicit vertex subset; keep its contract
+                continue
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[ry] = rx
+        groups: dict = {}
+        for v in parent:
+            groups.setdefault(find(v), []).append(v)
+        out = []
+        for members in groups.values():
+            nn = [m for m in members if m is not None]
+            m0 = min(nn) if nn else None
+            out.extend((v, m0) for v in members)
+        node_type = nodes.schema["node"].dataType
+        from pyspark.sql.types import StructField, StructType
+        return edges.sparkSession.createDataFrame(
+            out, StructType([StructField("node", node_type),
+                             StructField("comp", node_type)]))
+    sym = e0.select(F.col("na").alias("node"), F.col("nb").alias("nbr"))
     sym = sym.unionByName(
         sym.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))) \
         .distinct().localCheckpoint(eager=True)

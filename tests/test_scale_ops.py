@@ -593,13 +593,32 @@ def test_connected_components_raises_on_round_exhaustion(spark):
     """Exhausting max_rounds without convergence raises instead of
     returning partially-merged labels (r4 ADVICE: dedup_canonical decides
     which documents to DROP from these labels, so a silent partial
-    labelling is worse than an error)."""
+    labelling is worse than an error).  local_cap=0 forces the
+    distributed loop (the bounded driver path needs no rounds)."""
     import pytest
     from hexscape_spark.graph import connected_components
     edges = spark.createDataFrame([(i, i + 1) for i in range(30)],
                                   "src LONG, dst LONG")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_rounds=1)
+        connected_components(edges, max_rounds=1, local_cap=0)
+
+
+def test_connected_components_regimes_agree(spark):
+    """The bounded driver union-find and the distributed label-
+    propagation loop produce the identical min-node-id labelling on a
+    random sparse graph with isolated vertices."""
+    import numpy as np
+    from hexscape_spark.graph import connected_components
+    rng = np.random.RandomState(31)
+    edges = [(int(x), int(y)) for x, y in rng.randint(0, 80, (60, 2))]
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ndf = spark.range(80).selectExpr("id AS node")
+    loc = sorted((r.node, r.comp) for r in
+                 connected_components(edf, nodes=ndf).collect())
+    dist = sorted((r.node, r.comp) for r in
+                  connected_components(edf, nodes=ndf,
+                                       local_cap=0).collect())
+    assert loc == dist
 
 
 def test_dedup_families_transitive_and_canonical(spark):
