@@ -462,8 +462,14 @@ def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
     import re as _re
 
     df = df.persist()
+    # NULL keys have no reassembly identity (and a NULL key would win
+    # every line: MIN(struct) sorts a NULL field first — the r4 struct-
+    # MIN lesson): such rows pass through with their text unchanged and
+    # never participate in the dedup
+    nulls = df.where(F.col(key).isNull()).withColumn(out, F.col(text))
+    df_nn = df.where(F.col(key).isNotNull())
     sep_rx = _re.sub(r"([\\.\[\]{}()*+\-?^$|])", r"\\\1", sep)
-    lines = df.select(
+    lines = df_nn.select(
         F.col(key),
         F.posexplode(F.split(F.col(text), sep_rx)).alias("__i", "__l"))
     elig = F.length(F.trim(F.col("__l"))) >= min_line_chars
@@ -486,8 +492,9 @@ def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
         F.concat_ws(sep, F.transform(
             F.sort_array(F.collect_list(F.struct("__i", "__l"))),
             lambda s: s["__l"])).alias(out))
-    return (df.join(docs, on=key, how="left")
-            .withColumn(out, F.coalesce(F.col(out), F.lit(""))))
+    deduped = (df_nn.join(docs, on=key, how="left")
+               .withColumn(out, F.coalesce(F.col(out), F.lit(""))))
+    return deduped.unionByName(nulls)
 
 
 def contamination_flags(df: DataFrame, benchmark: DataFrame,
@@ -510,17 +517,26 @@ def contamination_flags(df: DataFrame, benchmark: DataFrame,
     _shingles short-doc rule), so an exact short-text match still flags.
     """
     df = df.persist()        # read twice: gram explode + final join-back
+    # NULL keys have no join-back identity — they come back with NULL
+    # flags ("unknown"), never a silent clean verdict
+    nulls = (df.where(F.col(key).isNull())
+             .withColumn("contaminated_ngrams",
+                         F.lit(None).cast("long"))
+             .withColumn("is_contaminated", F.lit(None).cast("boolean")))
+    df_nn = df.where(F.col(key).isNotNull())
     gb = benchmark.select(F.explode(F.array_distinct(
         _shingles(F.col(bench_text), n))).alias("__g")).distinct()
     if broadcast_benchmark:
         gb = F.broadcast(gb)
-    gd = df.select(F.col(key), F.explode(F.array_distinct(
+    gd = df_nn.select(F.col(key), F.explode(F.array_distinct(
         _shingles(F.col(text), n))).alias("__g"))
     hits = (gd.join(gb, on="__g")
             .groupBy(key)
             .agg(F.countDistinct("__g").alias("contaminated_ngrams")))
-    return (df.join(hits, on=key, how="left")
+    return (df_nn.join(hits, on=key, how="left")
             .withColumn("contaminated_ngrams",
-                        F.coalesce("contaminated_ngrams", F.lit(0)))
+                        F.coalesce(F.col("contaminated_ngrams"),
+                                   F.lit(0)).cast("long"))
             .withColumn("is_contaminated",
-                        F.col("contaminated_ngrams") > 0))
+                        F.col("contaminated_ngrams") > 0)
+            .unionByName(nulls))

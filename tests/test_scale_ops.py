@@ -1214,6 +1214,15 @@ def test_contamination_flags_ngram_overlap(spark):
     assert not bool(got.loc[1, "is_contaminated"])
     assert not bool(got.loc[2, "is_contaminated"])       # only 12 shared
     assert bool(got.loc[3, "is_contaminated"])           # exact short hit
+    # NULL-key rows come back with NULL flags (unknown), never a silent
+    # clean verdict
+    dfn = spark.createDataFrame(docs + [(None, "short quiz answer")],
+                                "doc_id LONG, text STRING")
+    gn = contamination_flags(dfn, bdf).toPandas()
+    nrow = gn[gn.doc_id.isna()]
+    assert len(nrow) == 1
+    assert nrow.contaminated_ngrams.isna().all()
+    assert nrow.is_contaminated.isna().all()
 
 
 def test_dedup_lines_randomized_serial_parity(spark):
@@ -1248,6 +1257,19 @@ def test_dedup_lines_randomized_serial_parity(spark):
     goth = dedup_lines(df.repartition(5), hash_shuffle=True).toPandas() \
         .set_index("doc_id")["text_line_deduped"]
     assert (goth.sort_index() == got.sort_index()).all()
+    # NULL-key rows pass through untouched and never win a line (a NULL
+    # key would otherwise sort first in the MIN(struct) winner)
+    withnull = docs + [(None, "line 0 content\nonly null line")]
+    dfn = spark.createDataFrame(withnull, "doc_id LONG, text STRING")
+    gotn = dedup_lines(dfn).toPandas()
+    nrow = gotn[gotn.doc_id.isna()]
+    assert len(nrow) == 1
+    assert nrow.text_line_deduped.iloc[0] == \
+        "line 0 content\nonly null line"              # untouched
+    keyed = gotn[gotn.doc_id.notna()].set_index("doc_id")
+    keyed.index = keyed.index.astype("int64")
+    assert (keyed["text_line_deduped"].sort_index() ==
+            got.sort_index()).all()                   # unaffected
 
 
 def test_stream_warc_equals_batch(spark, tmp_path):
