@@ -355,7 +355,8 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
 
 def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
                    a: str = "id_a", b: str = "id_b",
-                   quality: str | None = None) -> DataFrame:
+                   quality: str | None = None,
+                   cc_local_cap: int | None = None) -> DataFrame:
     """Duplicate-FAMILY clustering: the pipeline stage after pair
     generation (minhash_lsh_pairs / ngram_jaccard_pairs /
     embedding_near_dup_pairs all emit (id_a, id_b)) in a C4/RefinedWeb-
@@ -373,8 +374,11 @@ def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     ONE hash aggregate per family (MIN(struct) with map-side partial
     combine) joined back — deliberately NOT a window over family_id,
     which would funnel a degenerate all-connected corpus (every boiler-
-    plate page in one family) into a single task.  No driver
-    materialisation.
+    plate page in one family) into a single task.  The CORPUS never
+    touches the driver; the pair graph does when it fits
+    connected_components' bounded fast path (graph.CC_LOCAL_CAP —
+    set `cc_local_cap=0` to force the fully distributed loop on a
+    memory-constrained driver).
     """
     from .graph import connected_components
 
@@ -384,7 +388,9 @@ def dedup_families(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     # canonical equality would crown all of them (r4 ADVICE — the earlier
     # fix only survived with a single NULL-key row).
     nulls = df.where(F.col(key).isNull())
-    comp = connected_components(pairs, a=a, b=b) \
+    cc_kwargs = {} if cc_local_cap is None else \
+        {"local_cap": cc_local_cap}
+    comp = connected_components(pairs, a=a, b=b, **cc_kwargs) \
         .withColumnRenamed("node", key)
     fam = (df.where(F.col(key).isNotNull())
            .join(comp, on=key, how="left")
@@ -445,19 +451,23 @@ def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
     sort_array(collect_list(struct(idx, line))).  The input is persisted
     for the duration of the plan (three branches read it: winner agg,
     keep join, reassembly join — an upstream extraction UDF would
-    otherwise run three times).  Requires non-null unique `key` values
-    (the reassembly join identity).  `sep` is a LITERAL separator
-    (escaped before the regex split, so sep='.' or '|' splits on the
-    character, not on a regex).  Output column `out` carries the cleaned
-    text; all other columns pass through.
+    otherwise run three times).  `key` values must be UNIQUE (the
+    reassembly join identity — duplicate keys would merge documents);
+    NULL-key rows pass through with their text untouched and never
+    participate.  `sep` is a LITERAL separator (escaped before the
+    regex split, so sep='.' or '|' splits on the character, not on a
+    regex).  Output column `out` carries the cleaned text; all other
+    columns pass through.
 
-    `hash_shuffle=True` is the 100-TB trade: the winner determination
-    groups and joins on xxhash64(line) instead of the line text, so that
-    shuffle carries 8-byte keys rather than the whole corpus again (the
-    reassembly shuffle still moves the full text once — the output IS
-    text).  Identical results unless two distinct lines collide in
-    xxhash64 (~2^-64 per pair), which would merge their dedup classes —
-    the exact default keeps the oracle-grade semantics.
+    `hash_shuffle=True` is the 100-TB trade: the winner AGGREGATION and
+    its join side carry 8-byte xxhash64 keys instead of line text — the
+    map-side partial MIN means only each task's distinct gram keys cross
+    the wire, and the winners relation shrinks to (hash, key, idx).  The
+    lines side of the keep-join and the reassembly still move the text
+    (the output IS text) in either mode.  Identical results unless two
+    distinct lines collide in xxhash64 (~2^-64 per pair), which would
+    merge their dedup classes — the exact default keeps the oracle-grade
+    semantics.
     """
     import re as _re
 

@@ -124,6 +124,35 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 32,
     return visited
 
 
+def _union_find_min_labels(parent: dict, pairs) -> dict:
+    """Path-halving union-find over arbitrary hashable ids: `parent`
+    maps every node to itself on entry; returns {node: min id of its
+    component} (None-id nodes label None — a singleton by the join
+    semantics of the distributed loop).  Shared by the CC fast path;
+    habitat's tile labeller keeps its positional-array variant (hot
+    loop over dense indices)."""
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[ry] = rx
+    groups: dict = {}
+    for v in parent:
+        groups.setdefault(find(v), []).append(v)
+    labels: dict = {}
+    for members in groups.values():
+        nn = [m for m in members if m is not None]
+        m0 = min(nn) if nn else None
+        for v in members:
+            labels[v] = m0
+    return labels
+
+
 # edge/node count bound for the in-memory CC fast path — the same
 # explicit-cap bounded-driver pattern as bfs_hops/_HABITAT_DIM_CAP.
 # Covers the QUOTIENT graphs two-level grid CC produces (boundary-
@@ -162,49 +191,38 @@ def connected_components(edges: DataFrame, a: str = "src", b: str = "dst",
         nodes = (edges.select(F.col(a).alias("node"))
                  .unionByName(edges.select(F.col(b).alias("node"))))
     nodes = nodes.select("node").distinct().localCheckpoint(eager=True)
-    e0 = edges.select(F.col(a).alias("na"), F.col(b).alias("nb")) \
-        .distinct().localCheckpoint(eager=True)
-    n_edges = e0.count()
-    n_nodes = nodes.count()
-    if n_edges <= local_cap and n_nodes <= local_cap:
-        parent: dict = {r["node"]: r["node"] for r in nodes.collect()}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in e0.collect():
-            x, y = r["na"], r["nb"]
-            # NULL endpoints mirror the join semantics of the
-            # distributed loop: NULL never equi-joins, so such an edge
-            # connects nothing
-            if x is None or y is None or x not in parent or \
-                    y not in parent:
-                # endpoints outside `nodes` only arise when a caller
-                # passes an explicit vertex subset; keep its contract
-                continue
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                parent[ry] = rx
-        groups: dict = {}
-        for v in parent:
-            groups.setdefault(find(v), []).append(v)
-        out = []
-        for members in groups.values():
-            nn = [m for m in members if m is not None]
-            m0 = min(nn) if nn else None
-            out.extend((v, m0) for v in members)
-        node_type = nodes.schema["node"].dataType
-        from pyspark.sql.types import StructField, StructType
-        return edges.sparkSession.createDataFrame(
-            out, StructType([StructField("node", node_type),
-                             StructField("comp", node_type)]))
-    sym = e0.select(F.col("na").alias("node"), F.col("nb").alias("nbr"))
+    # gate on the RAW pair count (no extra distinct shuffle just to
+    # decide the regime — duplicates are harmless to a union-find, and a
+    # raw count under the cap bounds the deduped count too); the edge
+    # lineage runs once either way: into the collect below, or into the
+    # symmetrised checkpoint of the distributed loop (r5 review — the
+    # first cut checkpointed a deduped copy unconditionally)
+    e = edges.select(F.col(a).alias("na"), F.col(b).alias("nb"))
+    if local_cap > 0:
+        e = e.persist()
+        if e.count() <= local_cap and nodes.count() <= local_cap:
+            parent: dict = {r["node"]: r["node"] for r in nodes.collect()}
+            pairs = [(r["na"], r["nb"]) for r in e.collect()]
+            e.unpersist()
+            # NULL endpoints and endpoints outside an explicit `nodes`
+            # subset mirror the distributed loop's join semantics: NULL
+            # never equi-joins and unlabelled endpoints drop, so such an
+            # edge connects nothing
+            labels = _union_find_min_labels(
+                parent, (p for p in pairs
+                         if p[0] is not None and p[1] is not None
+                         and p[0] in parent and p[1] in parent))
+            node_type = nodes.schema["node"].dataType
+            from pyspark.sql.types import StructField, StructType
+            return edges.sparkSession.createDataFrame(
+                list(labels.items()),
+                StructType([StructField("node", node_type),
+                            StructField("comp", node_type)]))
+    sym = e.select(F.col("na").alias("node"), F.col("nb").alias("nbr"))
     sym = sym.unionByName(
         sym.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))) \
         .distinct().localCheckpoint(eager=True)
+    e.unpersist()
     lab = nodes.select("node", F.col("node").alias("lab")) \
         .localCheckpoint(eager=True)
     changed = -1                       # "never measured" (max_rounds < 1)

@@ -1294,11 +1294,11 @@ def test_stream_warc_equals_batch(spark, tmp_path):
         write_warc_gz(recs, str(seg_dir / f"seg{s}.warc.gz"))
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    q = (stream_warc(spark, str(seg_dir))
-         .writeStream.format("parquet")
-         .option("path", out).option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # run_available_now blocks until the drain completes and propagates
+    # StreamingQueryException (a bare awaitTermination(timeout) returns
+    # False on a slow box and would read a half-written sink)
+    from hexscape_spark.streaming import run_available_now
+    run_available_now(stream_warc(spark, str(seg_dir)), ckpt, out)
     got = spark.read.parquet(out).toPandas() \
         .sort_values(["segment", "url"]).reset_index(drop=True)
     want = read_warc(spark, str(seg_dir / "*.warc.gz")).toPandas() \
