@@ -166,3 +166,26 @@ def test_nearest_cell_plan_broadcast_minstruct(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_line_dedup_plan_no_cartesian_no_python(spark):
+    """Corpus line dedup is pure equi-join/aggregate relational algebra:
+    no cartesian product, no nested-loop join, no Python on the path —
+    the shape that survives a 100-TB corpus."""
+    df = m.queries()["line_dedup_docs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """Decontamination joins the corpus grams against a BROADCAST of the
+    benchmark gram set (eval suites are tiny next to a training corpus)
+    — never a shuffle of the corpus onto the benchmark, never a
+    cartesian product."""
+    df = m.queries()["contamination_docs"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
