@@ -249,8 +249,12 @@ def ngram_jaccard_pairs_portable(df: DataFrame, key: str = "doc_id",
     PORTABLE minhash path so the whole pipeline (banding + exact verify)
     is reproducible in the DuckDB oracle.  Returns (a, b, jaccard) with
     jaccard rounded to 6 dp and >= threshold."""
+    # the candidate subtree (md5-folded minhash + banding) feeds THREE
+    # consumers (the id semi-join and both verify joins) — materialise
+    # once (r5: it was being recomputed three times, the dominant cost
+    # of the contract query)
     cands = minhash_lsh_pairs_portable(df, key, text, num_hashes, bands,
-                                       shingle_k)
+                                       shingle_k).localCheckpoint(eager=True)
     # R3: the expensive exact shingle sets are built ONLY for docs that
     # appear in a candidate pair (semi-join prefilter), not the corpus
     ids = (cands.select(F.col("a").alias(key))
@@ -340,10 +344,18 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
     Candidate generation is minhash_lsh_pairs (cheap); the exact Jaccard is
     verified with array_intersect/array_union on distinct shingle sets —
     computed only for candidates (R3: cheap prefilter before expensive op).
+    An explicit semi-join prunes the shingle build to candidate members
+    (r5 — the join alone would not stop Catalyst from materialising the
+    shingle arrays for every document, twice).
     """
-    cands = minhash_lsh_pairs(df, key, text, num_hashes, bands, shingle_k)
-    sh = df.select(F.col(key),
-                   F.array_distinct(_shingles(F.col(text), shingle_k)).alias("sh"))
+    cands = minhash_lsh_pairs(df, key, text, num_hashes, bands, shingle_k) \
+        .localCheckpoint(eager=True)   # feeds the semi-join AND the verify
+    cand_ids = (cands.select(F.col("a").alias(key))
+                .unionByName(cands.select(F.col("b").alias(key))).distinct())
+    sh = (df.join(cand_ids, on=key, how="left_semi")
+          .select(F.col(key),
+                  F.array_distinct(_shingles(F.col(text),
+                                             shingle_k)).alias("sh")))
     j = (cands.join(sh.withColumnRenamed("sh", "sh_a"), cands.a == sh[key]).drop(key)
          .join(sh.withColumnRenamed("sh", "sh_b"), cands.b == sh[key]).drop(key))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")) /
