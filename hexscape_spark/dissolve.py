@@ -73,9 +73,13 @@ def _union_or_fallback(polys: list[list[np.ndarray]], tol: float | None = None
     for comp in comps:
         sub = [polys[i] for i in comp]
         try:
-            merged = geo.union_component(sub)
+            # with_area returns the trapezoid-sweep area — EXACT even
+            # when the traced boundary carries a tolerated near-tangency
+            # sliver (geo.union_component's r5 precision contract); the
+            # reported numbers never inherit the boundary's 1e-7 bound
+            merged, marea = geo.union_component(sub, with_area=True)
             pieces.extend(merged)
-            area += geo.polygons_area(merged)
+            area += marea
         except geo.UnionTraceError:
             pieces.extend(sub)                      # fallback: source rings
             area += geo.union_area(sub)             # area stays exact
@@ -328,8 +332,7 @@ def dissolve(df: DataFrame, key: str = "clc", geom: str = "geom_wkb",
             merged, area = [], 0.0
         else:
             try:
-                merged = geo.union_component(sub)
-                area = geo.polygons_area(merged)
+                merged, area = geo.union_component(sub, with_area=True)
             except geo.UnionTraceError:
                 merged = sub
                 area = geo.union_area(sub)

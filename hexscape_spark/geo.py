@@ -1338,11 +1338,22 @@ _UNION_LEAF = 48
 
 
 def union_component(polys: list[list[np.ndarray]],
-                    _depth: int = 0) -> list[list[np.ndarray]]:
+                    _depth: int = 0,
+                    with_area: bool = False):
     """Exact union boundary of one touch/overlap-connected polygon set.
     Returns polygons (outer CCW + holes CW); validates its own area against
     the independent strip-sweep union_area and raises UnionTraceError on
     any disagreement, so callers can fall back safely.
+
+    PRECISION CONTRACT (r5, found by the hypothesis property sweep): the
+    traced BOUNDARY may carry a near-tangency sliver of up to the
+    validation bound — max(1e-9, 1e-7 x area) — when an input vertex
+    lies within ~1e-5 of another polygon's edge (the stitch then chords
+    across a micro-notch).  The trapezoid-sum area of the same strip
+    decomposition is exact to ~1e-13 relative (verified against rational
+    arithmetic); `with_area=True` returns (pieces, area) with THAT exact
+    area, which is what dissolve reports — the geometry is within the
+    documented bound, the numbers are sweep-exact.
 
     Sets larger than _UNION_LEAF union hierarchically: spatially-sorted
     batches -> partial unions -> union of the partials.  The sweep is
@@ -1350,7 +1361,8 @@ def union_component(polys: list[list[np.ndarray]],
     10^4-feature blob near-linear instead of quadratic (the divide-and-
     conquer every GEOS cascaded union uses)."""
     if len(polys) == 1:
-        return [polys[0]]
+        return ([polys[0]], polygon_area(polys[0])) if with_area \
+            else [polys[0]]
     if len(polys) > _UNION_LEAF and _depth < 16:
         cents = np.array([polygons_bounds([p]) for p in polys])
         cx = 0.5 * (cents[:, 0] + cents[:, 2])
@@ -1368,14 +1380,20 @@ def union_component(polys: list[list[np.ndarray]],
                                                _depth + 1))
         if len(partial) < len(polys):
             out: list[list[np.ndarray]] = []
+            area = 0.0
             for comp in overlap_components(partial):
-                out.extend(union_component([partial[j] for j in comp],
-                                           _depth + 1))
-            return out
+                r = union_component([partial[j] for j in comp],
+                                    _depth + 1, with_area=with_area)
+                if with_area:
+                    out.extend(r[0])
+                    area += r[1]
+                else:
+                    out.extend(r)
+            return (out, area) if with_area else out
         # nothing merged at this depth: fall through to one direct sweep
     x1, y1, x2, y2, pid = _poly_set_segments(polys)
     if len(x1) == 0:
-        return []
+        return ([], 0.0) if with_area else []
     xs = np.unique(np.concatenate(
         [x1, x2, _pairwise_crossing_xs(x1, y1, x2, y2)]))
     bx0, by0, bx1, by1 = polygons_bounds(polys)
@@ -1384,15 +1402,21 @@ def union_component(polys: list[list[np.ndarray]],
     def intervals(xm: float):
         return _merged_intervals_at(x1, y1, x2, y2, pid, xm)
 
-    return _trace_regions(x1, y1, x2, y2, xs, intervals, diag)
+    out, want = _trace_regions(x1, y1, x2, y2, xs, intervals, diag,
+                               return_area=True)
+    return (out, want) if with_area else out
 
 
-def _trace_regions(x1, y1, x2, y2, xs, interval_fn, diag: float
-                   ) -> list[list[np.ndarray]]:
+def _trace_regions(x1, y1, x2, y2, xs, interval_fn, diag: float,
+                   return_area: bool = False):
     """Generic boolean-region boundary trace over the strip decomposition:
     `interval_fn(xm)` defines the region's merged y-intervals (with
     bounding segment refs) at any sample line; the trapezoid edges + strip
-    seams stitch into rings, validated against the trapezoid-sum area."""
+    seams stitch into rings, validated against the trapezoid-sum area.
+    With return_area=True also returns that trapezoid-sum area — exact
+    (each strip is crossing-free, so coverage is linear and the midpoint
+    trapezoid integral is the true integral), unlike the shoelace of the
+    traced rings which may carry a tolerated near-tangency sliver."""
     tol = 1e-9 * diag
 
     def eval_at(seg: int, x: float) -> float:
@@ -1429,7 +1453,7 @@ def _trace_regions(x1, y1, x2, y2, xs, interval_fn, diag: float
     if abs(got - want) > max(1e-9, 1e-7 * abs(want)):
         raise UnionTraceError(
             f"traced region area {got!r} != sweep area {want!r}")
-    return out
+    return (out, want) if return_area else out
 
 
 def _boolean_polygons(a: list[list[np.ndarray]], b: list[list[np.ndarray]],
