@@ -100,13 +100,18 @@ def job_neighbours(spark, args) -> None:
 
 def job_dedup(spark, args) -> None:
     """Near-duplicate candidate pairs over a documents/pages parquet
-    (MinHash+LSH banding with the bucket cap)."""
+    (MinHash+LSH banding with the bucket cap).  The cap defaults ON here
+    (--max-bucket 10000, 0 disables): this is the production driver, and
+    one degenerate boilerplate bucket of m members emits m²/2 pairs —
+    r5 caught this job emitting 10M pairs from a 20k-doc corpus whose
+    docstring claimed the cap it never passed."""
     from .dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(args.pages)
     key = "doc_id" if "doc_id" in docs.columns else "page_id"
     pairs = minhash_lsh_pairs(docs, key=key, num_hashes=args.num_hashes,
-                              bands=args.bands)
+                              bands=args.bands,
+                              max_bucket=args.max_bucket or None)
     pairs.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"job": "dedup",
                       "pairs": spark.read.parquet(args.out).count()}))
@@ -198,6 +203,8 @@ def main(argv: list[str] | None = None) -> None:
     runp.add_argument("--size", type=float, default=50.0)
     runp.add_argument("--num-hashes", type=int, default=32)
     runp.add_argument("--bands", type=int, default=8)
+    runp.add_argument("--max-bucket", type=int, default=10_000,
+                      help="LSH bucket cap for the dedup job (0 = no cap)")
     runp.add_argument("--regroup", type=int, default=None,
                       help="CLC regroup level 1-3 (landcover job)")
     args = ap.parse_args(argv)
