@@ -106,8 +106,19 @@ def wkb_to_geom(wkb: bytes):
 
 
 def wkb_to_polygons(wkb: bytes) -> list[list[np.ndarray]]:
-    """Decode WKB as a list of polygons regardless of poly/multipoly."""
-    kind, payload = wkb_to_geom(wkb)
+    """Decode WKB as a list of polygons regardless of poly/multipoly.
+    Truncated or corrupt input raises ValueError naming the defect, not
+    a raw struct.error from deep inside the parser (r5 fuzz — a
+    malformed user-supplied WKB column should fail a task with a clear
+    message)."""
+    import struct
+
+    try:
+        kind, payload = wkb_to_geom(wkb)
+    except (struct.error, IndexError, AssertionError) as e:
+        # struct.error: truncated buffer; IndexError: corrupt counts;
+        # AssertionError: the parser's big-endian/byte-order guard
+        raise ValueError(f"malformed WKB ({e})") from None
     if kind == "polygon":
         return [payload]
     if kind == "multipolygon":
