@@ -39,6 +39,23 @@ FEATURE_SCHEMA = ("media_id LONG, kind STRING, n_bytes LONG, "
 
 # --- image codecs ------------------------------------------------------------
 
+def _malformed_raises_valueerror(fn):
+    """Decoder guard (r5 fuzz): truncated/corrupt payloads must fail a
+    task with a clear ValueError, never a raw struct.error/IndexError/
+    AssertionError from inside the parser."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload, *a, **k):
+        try:
+            return fn(payload, *a, **k)
+        except (struct.error, IndexError, AssertionError) as e:
+            raise ValueError(
+                f"malformed {fn.__name__.replace('decode_', '')} "
+                f"payload ({e})") from None
+    return wrapped
+
+
 def encode_ppm(rgb: np.ndarray) -> bytes:
     """P6 binary PPM from an (h, w, 3) uint8 array."""
     h, w, c = rgb.shape
@@ -47,6 +64,7 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
         rgb.astype(np.uint8).tobytes()
 
 
+@_malformed_raises_valueerror
 def decode_ppm(payload: bytes) -> np.ndarray:
     """(h, w, 3) uint8 from a P6 binary PPM (whitespace/comment tolerant)."""
     if payload[:2] != b"P6":
@@ -99,6 +117,7 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return hdr + info + bytes(body)
 
 
+@_malformed_raises_valueerror
 def decode_bmp(payload: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB from a 24-bit uncompressed BMP."""
     if payload[:2] != b"BM":
@@ -113,6 +132,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = abs(h)
     row = w * 3
     stride = row + ((-row) % 4)
+    # the declared pixel block must FIT the buffer before any allocation
+    # happens — a corrupt dimension field would otherwise attempt a
+    # multi-GB np.empty (r5 fuzz: MemoryError from one flipped bit)
+    if w <= 0 or h <= 0 or data_off + stride * h > len(payload):
+        raise ValueError(
+            f"malformed BMP: declared {w}x{h} pixels exceed the "
+            f"{len(payload)}-byte payload")
     out = np.empty((h, w, 3), dtype=np.uint8)
     for y in range(h):
         off = data_off + y * stride
@@ -121,6 +147,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return out
 
 
+@_malformed_raises_valueerror
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-sniffing image decode: P6 PPM or 24-bit BMP."""
     if payload[:2] == b"P6":
@@ -162,6 +189,7 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
             b"data" + struct.pack("<I", len(body)) + body)
 
 
+@_malformed_raises_valueerror
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """(rate, channels, int16 samples (n, ch)) from RIFF PCM16."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -228,6 +256,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
+@_malformed_raises_valueerror
 def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
     """(fps, (nf, h, w, 3) uint8 RGB frames) from an uncompressed RIFF
     AVI.  Bounds-checked: truncated/malformed input raises ValueError."""

@@ -185,3 +185,43 @@ def test_sample_frames_roundtrip(spark):
             for _, r in rows.iterrows():
                 assert (mm.decode_ppm(bytes(r.payload)) ==
                         frames[r.frame_idx]).all()
+
+
+def test_decoders_malformed_raise_valueerror_only():
+    """Fuzz-derived contract (r5): truncated/random/bit-flipped payloads
+    raise ValueError from every decoder — never struct.error/IndexError/
+    AssertionError, and never a giant allocation from a corrupt BMP
+    dimension field."""
+    import numpy as np
+
+    from hexscape_spark import multimodal as mm
+    rng = np.random.RandomState(9)
+    samples = {
+        "decode_ppm": mm.encode_ppm(np.zeros((6, 5, 3), dtype=np.uint8)),
+        "decode_bmp": mm.encode_bmp(np.zeros((6, 5, 3), dtype=np.uint8)),
+        "decode_wav": mm.encode_wav(np.zeros(64, dtype=np.int16), 8000),
+        "decode_avi": mm.encode_avi(np.zeros((2, 4, 6, 3), dtype=np.uint8),
+                                    fps=5),
+    }
+    for name in ("decode_ppm", "decode_bmp", "decode_image", "decode_wav",
+                 "decode_avi"):
+        fn = getattr(mm, name)
+        blob = samples.get(name)
+        cases = []
+        if blob is not None:
+            cases += [blob[:c] for c in range(0, len(blob), 7)]
+            for _ in range(150):
+                b = bytearray(blob)
+                for _ in range(rng.randint(1, 4)):
+                    b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+                cases.append(bytes(b))
+        cases += [bytes(rng.randint(0, 256, rng.randint(0, 80),
+                                    dtype=np.uint8)) for _ in range(250)]
+        for c in cases:
+            try:
+                fn(c)
+            except ValueError:
+                pass                  # the only acceptable failure mode
+    # valid payloads still roundtrip
+    assert mm.decode_ppm(samples["decode_ppm"]).shape == (6, 5, 3)
+    assert mm.decode_bmp(samples["decode_bmp"]).shape == (6, 5, 3)
