@@ -514,8 +514,16 @@ def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
         F.concat_ws(sep, F.transform(
             F.sort_array(F.collect_list(F.struct("__i", "__l"))),
             lambda s: s["__l"])).alias(out))
+    # NULL text stays NULL (ADVICE r05): split(NULL) explodes no lines,
+    # so the doc misses the reassembly join — coalescing unconditionally
+    # would rewrite NULL to '' and lose NULL-ness for non-NULL-key rows
+    # (asymmetric with the NULL-key pass-through above).  Coalesce only
+    # when the source text is non-null; a non-null doc whose every line
+    # lost dedup genuinely becomes ''.
     deduped = (df_nn.join(docs, on=key, how="left")
-               .withColumn(out, F.coalesce(F.col(out), F.lit(""))))
+               .withColumn(out, F.when(
+                   F.col(text).isNull(), F.lit(None).cast("string"))
+                   .otherwise(F.coalesce(F.col(out), F.lit("")))))
     return deduped.unionByName(nulls)
 
 

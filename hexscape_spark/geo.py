@@ -81,7 +81,8 @@ def wkb_to_geom(wkb: bytes):
     """Decode WKB -> ('polygon'|'multipolygon'|'point', payload)."""
     buf = memoryview(wkb)
     byte_order = buf[0]
-    assert byte_order == 1, "big-endian WKB not supported"
+    if byte_order != 1:                  # input validation, not an invariant
+        raise ValueError("big-endian WKB not supported")
     (gtype,) = struct.unpack_from("<I", buf, 1)
     gtype = gtype & 0xFF
     off = 5
@@ -96,9 +97,11 @@ def wkb_to_geom(wkb: bytes):
         off += 4
         polys = []
         for _ in range(np_):
-            assert buf[off] == 1
+            if buf[off] != 1:
+                raise ValueError("big-endian WKB sub-geometry")
             (t2,) = struct.unpack_from("<I", buf, off + 1)
-            assert (t2 & 0xFF) == _WKB_POLYGON
+            if (t2 & 0xFF) != _WKB_POLYGON:
+                raise ValueError("multipolygon member is not a polygon")
             poly, off = _read_polygon(buf, off + 5)
             polys.append(poly)
         return "multipolygon", polys
@@ -115,9 +118,12 @@ def wkb_to_polygons(wkb: bytes) -> list[list[np.ndarray]]:
 
     try:
         kind, payload = wkb_to_geom(wkb)
-    except (struct.error, IndexError, AssertionError) as e:
-        # struct.error: truncated buffer; IndexError: corrupt counts;
-        # AssertionError: the parser's big-endian/byte-order guard
+    except (struct.error, IndexError) as e:
+        # struct.error: truncated buffer; IndexError: corrupt counts.
+        # AssertionError is deliberately NOT caught (ADVICE r05): input-
+        # validation asserts in the parser are explicit ValueError raises
+        # now, so a surviving assert is a genuine invariant failure that
+        # must surface as a bug, not be masked as bad input.
         raise ValueError(f"malformed WKB ({e})") from None
     if kind == "polygon":
         return [payload]

@@ -69,19 +69,31 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 32,
     regimes produce identical (node, hops) rows — hop distances are
     unique whatever the algorithm; the distributed path is pinned by
     test_bfs_distributed_path_matches_local."""
-    e = edges.select(F.col(src_col).alias("node"),
-                     F.col(dst_col).alias("next")).distinct().persist()
+    # NULL endpoints are dropped ONCE, upstream of both regimes (ADVICE
+    # r05): the driver fast path would otherwise expand adj[None], and
+    # the distributed loop has the opposite quirk — a NULL `next` never
+    # matches the visited ANTI-join (NULL ≠ NULL), so it would be
+    # re-emitted at hop k.  An edge with a NULL end carries no
+    # reachability either way.
+    e = (edges.select(F.col(src_col).alias("node"),
+                      F.col(dst_col).alias("next"))
+         .where(F.col("node").isNotNull() & F.col("next").isNotNull())
+         .distinct().persist())
     n_edges = e.count()  # materialise once: rounds must not replay lineage
     if n_edges <= local_edge_cap:
         from collections import defaultdict, deque
 
         adj = defaultdict(list)
-        for r in e.collect():
+        for r in e.collect():   # e is NULL-endpoint-free (filtered above)
             adj[r["node"]].append(r["next"])
         node_type = e.schema["node"].dataType
         e.unpersist()
         hops = {}
         dq = deque()
+        # NULL sources stay: the distributed path carries them in the
+        # initial `visited` at hop 0 (they just never expand — the
+        # equi-join drops NULL), and adj has no None key so the fast
+        # path reproduces exactly that
         for r in sources.select(F.col(src_col).alias("node")).distinct() \
                 .collect():
             if r["node"] not in hops:

@@ -49,7 +49,12 @@ def _malformed_raises_valueerror(fn):
     def wrapped(payload, *a, **k):
         try:
             return fn(payload, *a, **k)
-        except (struct.error, IndexError, AssertionError) as e:
+        except (struct.error, IndexError) as e:
+            # AssertionError deliberately NOT caught (ADVICE r05): the
+            # decoders' input-validation asserts are explicit ValueError
+            # raises now, so a surviving assert is an internal invariant
+            # failure (a coding bug) that must surface, not be relabelled
+            # as a malformed payload.
             raise ValueError(
                 f"malformed {fn.__name__.replace('decode_', '')} "
                 f"payload ({e})") from None
@@ -93,7 +98,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         i = j
     i += 1                                       # single whitespace after maxval
     w, h, maxval = vals
-    assert maxval == 255, "only 8-bit PPM supported"
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
     raw = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=i)
     return raw.reshape(h, w, 3).copy()
 
@@ -209,7 +215,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             data = np.frombuffer(payload, dtype="<i2", count=ln // 2,
                                  offset=i + 8)
         i += 8 + ln + (ln % 2)
-    assert rate is not None and data is not None
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
     return int(rate), int(ch), data.reshape(-1, ch)
 
 

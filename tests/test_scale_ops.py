@@ -1308,3 +1308,42 @@ def test_stream_warc_equals_batch(spark, tmp_path):
         assert (got[c].values == want[c].values).all(), c
     assert all(bytes(a) == bytes(b)
                for a, b in zip(got.payload, want.payload))
+
+
+def test_dedup_lines_null_text_preserved(spark):
+    """ADVICE r05: a non-NULL-key row whose TEXT is NULL keeps NULL text
+    (split(NULL) explodes no lines, so the doc misses the reassembly
+    join — the r5 code rewrote that to '').  NULL-key rows still pass
+    through untouched, and a genuinely emptied doc still becomes ''."""
+    import pandas as pd
+
+    from hexscape_spark.dedup import dedup_lines
+    df = spark.createDataFrame(
+        [(1, "keep me\nshared"), (2, None), (3, "shared"), (None, None)],
+        "doc_id LONG, text STRING")
+    got = dedup_lines(df).toPandas()
+    by_id = got.set_index("doc_id", drop=False)
+    assert by_id.loc[1, "text_line_deduped"] == "keep me\nshared"
+    assert pd.isna(by_id.loc[2, "text_line_deduped"])     # NULL stays NULL
+    assert by_id.loc[3, "text_line_deduped"] == ""        # emptied, not NULL
+    nk = got[got.doc_id.isna()]
+    assert len(nk) == 1 and nk.text_line_deduped.isna().all()
+
+
+def test_bfs_null_edges_regimes_agree(spark):
+    """ADVICE r05: NULL edge endpoints and NULL sources behave the same
+    in both bfs_hops regimes — NULL never matches an equi-join, so a
+    NULL source sits at hop 0 and never expands, and NULL-endpoint edges
+    never carry reachability."""
+    from hexscape_spark.graph import bfs_hops
+    edges = [(0, 1), (1, 2), (None, 3), (2, None), (None, None), (3, 4)]
+    edf = spark.createDataFrame(edges, "Index LONG, Neighbour LONG")
+    src = spark.createDataFrame([(0,), (None,)], "Index LONG")
+    a = {(r.node, r.hops) for r in bfs_hops(edf, src).collect()}
+    b = {(r.node, r.hops) for r in
+         bfs_hops(edf, src, local_edge_cap=0).collect()}
+    assert a == b
+    # node 3 is only reachable via a NULL endpoint -> absent; NULL source
+    # present at hop 0
+    assert (None, 0) in a and not any(n == 3 for n, _ in a)
+    assert {(0, 0), (1, 1), (2, 2)} <= a and (4, 1) not in a
