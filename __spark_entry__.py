@@ -815,43 +815,106 @@ FROM wide
 """
 
 
+# F3b split-patch contract fixture (r6, VERDICT r05 #2): the landscape
+# is a rectangle minus a long thin rectangular SLOT hole positioned so
+# the hexes of one lattice row vertically straddle it — those cells are
+# severed into two components (st_cast POLYGON semantics,
+# R/generate_patches.R:160,182) while cells near the slot ends wrap
+# around it and stay connected.  Every quantity is closed-formable.
+_SPH_W = 5.0
+_SPH_REF = (0.0, 40.0)
+_SPH_A = (0.0, 0.0, 40.0, 40.0)          # landscape rect
+_SPH_B = (7.3, 16.9, 33.1, 19.9)         # slot hole, strictly inside A
+
+
 def _q_split_patches_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7b split patches (st_cast POLYGON): the F3 pentagon-with-hole
-    landscape — split cells share (q, r) with distinct dense Index.
-    Rows-only (the landscape is not rectangular, so no closed form);
-    golden facts incl. per-component LU areas in test_split_patches.py."""
+    """P7b split patches (st_cast POLYGON): rect-minus-slot landscape —
+    split cells share (q, r) with distinct dense Index in area-desc part
+    order.  ORACLE-GATED (r6, VERDICT r05 #2): hex∩(A−B) decomposes per
+    cell into closed forms — a severed hex is exactly hex∩(rect above
+    slot) + hex∩(rect below slot); an unsevered hex is hex∩A − hex∩B by
+    inclusion–exclusion (B ⊂ A); the severing test itself is four
+    clamp-Green area tests (top/bottom non-empty, no left/right passage
+    in the slot band).  Pentagon-with-hole golden facts stay in
+    test_split_patches.py."""
     import numpy as np
     from hexscape_spark import geo
     from hexscape_spark.tiling import generate_patches
-    outer = np.array([[0, 0], [10, 0], [30, 20], [20, 40], [10, 40]], float)
-    hole = np.array([[10, 10], [10, 20], [20, 20]], float)
+    ax0, ay0, ax1, ay1 = _SPH_A
+    bx0, by0, bx1, by1 = _SPH_B
+    outer = np.array([[ax0, ay0], [ax1, ay0], [ax1, ay1], [ax0, ay1]], float)
+    hole = np.array([[bx0, by0], [bx0, by1], [bx1, by1], [bx1, by0]], float)
     hl = geo.polygon_to_wkb([outer, hole])
-    ph = generate_patches(spark, hl, hex_width=5.0, reference_point=(0.0, 40.0))
-    out = ph.select("Index", "q", "r", F.round("area", 9).alias("area_r"))
-    # runtime conservation gate (r5, the habitat_patches pattern): the
-    # clipped patch areas must tile the landscape exactly — their sum is
-    # the pentagon-minus-hole area (closed-form shoelace), every patch
-    # fits one hex, and Index is the dense 1..n
-    chk = out.toPandas()                          # bounded: patch count
-    want = geo.polygons_area([[outer, hole]])    # orientation-free abs form
-    # the tiles may undercover by the min_prop sliver filter (P7 —
-    # fragments under 1% of a hex are dropped), never overcover, and the
-    # deficit is bounded by slivers: a lost or double-counted cell
-    # (hex_area(5) ~ 21.7) breaks this band
-    deficit = want - chk.area_r.sum()
-    if not (-1e-6 <= deficit <= 0.01 * P.hex_area(5.0) * len(chk)):
-        raise AssertionError(
-            f"split_patches identity violated: tiled area "
-            f"{chk.area_r.sum():.9f} vs landscape {want:.9f} "
-            f"(deficit {deficit:.9f} outside the sliver band)")
-    if (chk.area_r > P.hex_area(5.0) + 1e-9).any() or \
-            (chk.area_r <= 0).any():
-        raise AssertionError("split_patches identity violated: patch "
-                             "area outside (0, hex_area]")
-    if sorted(chk.Index) != list(range(1, len(chk) + 1)):
-        raise AssertionError("split_patches identity violated: Index "
-                             "not dense 1..n")
-    return out
+    ph = generate_patches(spark, hl, hex_width=_SPH_W,
+                          reference_point=_SPH_REF)
+    return ph.select("Index", "q", "r", F.round("area", 9).alias("area_r"))
+
+
+def _sql_split_patches_hole_duck() -> str:
+    """Closed-form oracle for _q_split_patches_hole.  Per lattice cell:
+    aA = area(hex∩A), aB = area(hex∩slot), aTop/aBot = area(hex∩rect
+    above/below the slot), aL/aR = area(hex∩slot-band beyond the slot's
+    left/right end).  severed ⇔ the hex has area on both sides of the
+    slot and no passage around either end — then its two components ARE
+    hex∩topRect and hex∩botRect (the slot blocks the whole band, so
+    nothing of the hex survives at band height); otherwise one connected
+    component of area aA − aB (convex∖convex has ≤2 components).  The
+    min_prop filter and the dense Index over (q, r, area DESC part
+    order) reproduce generate_patches exactly.  Thresholds: nonzero
+    areas in this fixture are ≥3e-5, clamp-Green tangency residues
+    ≤2e-13 (measured), so 1e-9/1e-12 split them by 4+ orders."""
+    ax0, ay0, ax1, ay1 = _SPH_A
+    bx0, by0, bx1, by1 = _SPH_B
+    w = _SPH_W
+    refx, refy = _SPH_REF
+    h = P.hex_height(w)
+    s = P.hex_side(w)
+    step = (s + h) / 2.0
+    r_lo = math.floor((refy - ay1) / step)
+    r_hi = math.ceil((refy - ay0) / step)
+    tan30 = math.tan(math.pi / 6.0)
+    q_lo = math.floor((ax0 + (ay0 - refy) * tan30 - refx) / w)
+    q_hi = math.ceil((ax1 + (ay1 - refy) * tan30 - refx) / w)
+    nq = q_hi - q_lo + 1
+    nr = r_hi - r_lo + 1
+    min_area = 0.01 * P.hex_area(w)
+    cx, cy = sqlgen.centroid_exprs("q", "r", w, refx, refy)
+    ids = f"SELECT CAST(range AS BIGINT) AS i FROM range(0, {nr * nq})"
+    base = (f"SELECT CAST(i % {nq} + {q_lo} AS BIGINT) AS q, "
+            f"CAST(CAST((i - (i % {nq})) / {nq} AS BIGINT) + {r_lo} "
+            "AS BIGINT) AS r "
+            f"FROM ({ids}) AS ids")
+    layers: list = [[("cx", cx), ("cy", cy)]]
+    layers += sqlgen.hex_rect_area_layers("cx", "cy", w, ax0, ay0, ax1, ay1,
+                                          out="aA", prefix="__A")
+    layers += sqlgen.hex_rect_area_layers("cx", "cy", w, bx0, by0, bx1, by1,
+                                          out="aB", prefix="__B")
+    layers += sqlgen.hex_rect_area_layers("cx", "cy", w, ax0, by1, ax1, ay1,
+                                          out="aTop", prefix="__T")
+    layers += sqlgen.hex_rect_area_layers("cx", "cy", w, ax0, ay0, ax1, by0,
+                                          out="aBot", prefix="__G")
+    layers += sqlgen.hex_rect_area_layers("cx", "cy", w, ax0, by0, bx0, by1,
+                                          out="aL", prefix="__l")
+    layers += sqlgen.hex_rect_area_layers("cx", "cy", w, bx1, by0, ax1, by1,
+                                          out="aR", prefix="__r")
+    layers += [[("severed",
+                 "CASE WHEN aB > 1.0E-9 AND aTop > 1.0E-9 AND aBot > 1.0E-9 "
+                 "AND aL < 1.0E-12 AND aR < 1.0E-12 THEN 1 ELSE 0 END")]]
+    wide = sqlgen.build_query(
+        f"({base})", layers,
+        select="q, r, aA, aB, aTop, aBot, severed")
+    return f"""
+WITH wide AS ({wide}),
+parts AS (
+  SELECT q, r, CASE WHEN severed = 1 THEN aTop ELSE aA - aB END AS area
+  FROM wide
+  UNION ALL
+  SELECT q, r, aBot AS area FROM wide WHERE severed = 1
+)
+SELECT ROW_NUMBER() OVER (ORDER BY q, r, area DESC) AS Index, q, r,
+       ROUND(area, 9) AS area_r
+FROM parts WHERE area >= {sqlgen._f(min_area)}
+"""
 
 
 def _q_neighbours_square(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1803,15 +1866,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_landuse": _q_cover_landuse,
         "patches_landuse": _q_patches_landuse,
         "connectedness": _q_connectedness,
+        # split_patches_hole joined the oracle-gated set in r6 (rect-
+        # minus-slot inclusion–exclusion closed form) -> 48/50 exact.
+        "split_patches_hole": _q_split_patches_hole,
         # geometry kernel (pytest-verified; rows-only check here) —
         # only the queries whose values genuinely need the NumPy
-        # geometry/iterative kernels remain rows-only.  The 50-entry
-        # driver cap holds: r4 merged hex_kring_counts + hex_ring_counts
-        # into hex_kring_profile; ivf_topk returned ORACLE-GATED
-        # (exhaustive-probe identity) and lsh_topk flipped to an exact
-        # oracle too (LCG hyperplane sketch reproduced in SQL) — all
-        # three ANN variants are contract-visible, 47/50 oracle-gated.
-        "split_patches_hole": _q_split_patches_hole,
+        # geometry/iterative kernels (KDE+k-means, iterative Voronoi
+        # swaps) remain rows-only; both RAISE at runtime unless their
+        # conservation identities hold (r5).
         "habitat_patches": _q_habitat_patches,
         "voronoi_cells": _q_voronoi_cells,
     }
@@ -1866,4 +1928,5 @@ def oracle_sql() -> dict[str, str]:
         "cover_landuse": _sql_cover_landuse_duck(),
         "patches_landuse": _sql_patches_landuse_duck(),
         "connectedness": _sql_connectedness_duck(),
+        "split_patches_hole": _sql_split_patches_hole_duck(),
     }
