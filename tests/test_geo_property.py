@@ -106,15 +106,14 @@ def _union_fixture(seed, m):
 @settings(max_examples=40, deadline=None)
 @given(seed=st.integers(0, 10_000), m=st.integers(2, 25))
 def test_union_polygons_area_matches_sweep(seed, m):
-    """union_component's PRECISION CONTRACT, on random rects AND random
-    convex-ish polygons (crossing-heavy): the with_area trapezoid-sum
-    area (what dissolve reports) reproduces the independent strip-sweep
-    union_area to 1e-9, and the traced BOUNDARY's shoelace area sits
-    inside the documented validation bound max(1e-9, 1e-7 x area) — a
-    near-tangent input vertex can leave a sliver that large (hypothesis
-    found seed=4476, m=16: 7.4e-6 on area 197, verified against exact
-    rational arithmetic; the 1e-9 boundary claim this test previously
-    made was an overclaim)."""
+    """union_component's PRECISION CONTRACT (tightened r6), on random
+    rects AND random convex-ish polygons (crossing-heavy): the with_area
+    trapezoid-sum area (what dissolve reports) reproduces the
+    independent strip-sweep union_area to 1e-9, and the traced
+    BOUNDARY's shoelace area is within max(2e-9, 1e-9 x area) — the
+    float sweep validates at that bound and any near-tangency failure
+    (the r5 seed-4476 sliver class) re-traces through the exact rational
+    fallback, so no sliver survives."""
     polys = _union_fixture(seed, m)
     want = geo.union_area(polys)
     # the reported area is sweep-exact
@@ -124,19 +123,25 @@ def test_union_polygons_area_matches_sweep(seed, m):
                                    with_area=True)
         total += a
     assert total == pytest.approx(want, rel=1e-9, abs=1e-9)
-    # the traced geometry is exact up to the validation bound
+    # the traced geometry is exact up to the tightened validation bound
     u = geo.union_polygons(polys)
-    assert abs(geo.polygons_area(u) - want) <= max(2e-9, 1e-7 * abs(want))
+    assert abs(geo.polygons_area(u) - want) <= max(2e-9, 1e-9 * abs(want))
     # every piece's area is positive and pieces partition the union
     for p in u:
         assert geo.polygon_area(p) > -1e-12
 
 
 def test_union_near_tangent_sliver_regression():
-    """The hypothesis counterexample pinned (r5): poly0's vertex lies
-    1.05e-5 off another polygon's edge; the traced boundary chords the
-    micro-notch (sliver 7.4e-6, inside the documented bound) while the
-    with_area value stays exact against the independent sweep."""
+    """The hypothesis counterexample pinned (r5), FIXED (r6): poly0's
+    vertex lies 1.05e-5 off another polygon's edge, putting two crossing
+    breakpoints 1.8e-15 apart; the float sweep's degenerate strip used
+    to chord a 7.4e-6 sliver.  The tightened 1e-9·area validation now
+    rejects that trace and the exact rational fallback (geo_exact)
+    produces the exact boundary — and the fallback genuinely fires on
+    this input (the regression stays meaningful, not vacuous)."""
+    from unittest import mock
+
+    from hexscape_spark import geo_exact
     polys = _union_fixture(4476, 16)
     want = geo.union_area(polys)
     total = 0.0
@@ -145,11 +150,12 @@ def test_union_near_tangent_sliver_regression():
                                    with_area=True)
         total += a
     assert total == pytest.approx(want, rel=1e-10)
-    traced = geo.polygons_area(geo.union_polygons(polys))
-    assert abs(traced - want) <= 1e-7 * want
-    # the sliver exists (this input exercises the documented bound, so
-    # the regression is meaningful, not vacuous)
-    assert abs(traced - want) > 1e-9
+    with mock.patch.object(geo_exact, "exact_union_trace",
+                           wraps=geo_exact.exact_union_trace) as spy:
+        traced = geo.polygons_area(geo.union_polygons(polys))
+        assert spy.call_count >= 1          # the degenerate input routes exact
+    # the boundary is now EXACT up to float64 output rounding
+    assert abs(traced - want) <= 1e-9 * want
 
 
 def test_union_polygons_hole_and_containment():
