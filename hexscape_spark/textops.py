@@ -500,15 +500,17 @@ def with_pii_scrubbed(df: DataFrame, text: str = "text",
     return df.withColumn(out, t)
 
 
-# Compact snapshot of the PUBLIC SUFFIX LIST's ICANN section, 2-label
-# rules only (publicsuffix.org, public knowledge; snapshot of the
-# stable ccTLD second-level families as published through 2025).
-# Registrable-domain extraction (VERDICT r04 #4): a host matching
-# `x.<suffix>` registers at three labels (example.co.uk), anything else
-# falls back to the PSL default rule of last-two-labels.  Limitations,
-# by design of a compact snapshot: 3-label rules (k12.ca.us),
-# wildcard rules (*.ck) and the PSL's PRIVATE section (github.io) are
-# approximated by the 2-label fallback.
+# Compact snapshot of the PUBLIC SUFFIX LIST (publicsuffix.org, public
+# knowledge; stable families as published through 2025), with the FULL
+# longest-match algorithm (r6, VERDICT r05 #3): exact rules at 2 and 3
+# labels, wildcard rules (*.ck, *.kawasaki.jp, *.compute.amazonaws.com)
+# whose * must consume a real label, exception rules (!www.ck,
+# !city.kawasaki.jp) that trump everything, and the PSL PRIVATE section
+# (github.io, blogspot.*, s3.amazonaws.com, …) folded in — per-domain
+# corpus policies want platform subdomains as DISTINCT registrants.
+# Prevailing rule = most labels; exceptions win outright; no match =
+# the implicit "*" (last label).  registrable domain = prevailing
+# public suffix + one label, '' when the host IS a public suffix.
 _PUBLIC_SUFFIX_2 = sorted(
     f"{sld}.{cc}" for cc, slds in {
         "uk": "co org me ltd plc net sch ac gov nhs police",
@@ -547,16 +549,58 @@ _PUBLIC_SUFFIX_2 = sorted(
         "hu": "co org info priv",
     }.items() for sld in slds.split())
 
+# PRIVATE-section 2-label suffixes: hosting platforms where every
+# subdomain is an independent registrant (user sites).  These are the
+# entries per-domain mixing policies care about most — without them all
+# of github.io collapses into one "domain" stratum.
+_PSL_PRIVATE_2 = [
+    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "appspot.com", "herokuapp.com", "netlify.app", "vercel.app",
+    "firebaseapp.com", "web.app", "pages.dev", "workers.dev",
+    "azurewebsites.net", "cloudapp.net", "fastlylb.net", "onrender.com",
+    "readthedocs.io", "glitch.me", "surge.sh", "neocities.org",
+    "wordpress.com", "tumblr.com",
+]
+_PSL_EXACT_2 = sorted(set(_PUBLIC_SUFFIX_2) | set(_PSL_PRIVATE_2))
+
+# 3-label exact rules: the US state school/college/library families
+# (k12.<st>.us etc. — the canonical 3-label ICANN family), regional
+# blogspot registrations, and S3 website buckets.
+_US_STATES = ("al ak az ar ca co ct dc de fl ga hi id il in ia ks ky la "
+              "me md ma mi mn ms mo mt ne nv nh nj nm ny nc nd oh ok or "
+              "pa ri sc sd tn tx ut vt va wa wv wi wy").split()
+_PSL_EXACT_3 = sorted(
+    [f"{fam}.{st}.us" for st in _US_STATES for fam in ("k12", "cc", "lib")]
+    + ["s3.amazonaws.com", "blogspot.co.uk", "blogspot.com.au",
+       "blogspot.com.br"])
+
+# Wildcard rules by parent label count: *.<parent> is a public suffix
+# for ANY single label in the * position (the * must consume a real
+# label — the bare parent is NOT covered by the wildcard and falls
+# through to the shorter rules).
+_PSL_WILD_1 = sorted(["bd", "ck", "er", "fj", "fk", "mm", "np", "pg"])
+_JP_WILD_CITIES = ("kawasaki", "kitakyushu", "kobe", "nagoya", "sapporo",
+                   "sendai", "yokohama")
+_PSL_WILD_2 = sorted(f"{c}.jp" for c in _JP_WILD_CITIES)
+_PSL_WILD_3 = sorted(["compute.amazonaws.com", "compute-1.amazonaws.com"])
+
+# Exception rules (leading ! in the PSL): the named domain IS
+# registrable despite a covering wildcard; an exception always prevails.
+_PSL_EXC_2 = sorted(["www.ck"])
+_PSL_EXC_3 = sorted(f"city.{c}.jp" for c in _JP_WILD_CITIES)
+
 
 def with_url_features(df: DataFrame, url: str = "url") -> DataFrame:
     """URL structure features for corpus curation: full hostname,
-    registrable domain (eTLD+1 against the embedded public-suffix
-    snapshot), path depth, TLD, and a query-string flag — the columns
-    per-domain policies key on (e.g. stratified_sample_deterministic(
-    stratum='url_domain') for per-domain mixing rates, which treats
-    news.example.co.uk and blog.example.co.uk as ONE stratum).  Pure
-    JVM parse_url + string expressions; the suffix membership test is
-    one InSet over the ~200-entry snapshot."""
+    registrable domain (eTLD+1 via the full PSL longest-match algorithm
+    over the embedded snapshot — exact 2/3-label rules, wildcards,
+    exceptions, and the private section, r6), path depth, TLD, and a
+    query-string flag — the columns per-domain policies key on (e.g.
+    stratified_sample_deterministic(stratum='url_domain') for
+    per-domain mixing rates, which treats news.example.co.uk and
+    blog.example.co.uk as ONE stratum and alice.github.io and
+    bob.github.io as TWO).  Pure JVM parse_url + string expressions;
+    suffix membership is one InSet per rule table."""
     # full hostname, trailing dot normalised
     host = F.regexp_replace(
         F.lower(F.parse_url(F.col(url), F.lit("HOST"))), r"\.$", "")
@@ -564,16 +608,35 @@ def with_url_features(df: DataFrame, url: str = "url") -> DataFrame:
     # alphabetic TLDs only: IP-literal hosts ('...216.34') and dotless
     # hosts ('localhost') yield '' instead of numeric pseudo-TLDs
     tld = F.regexp_extract(host, r"\.([a-z][a-z0-9-]*)$", 1)
-    # registrable domain: F.get (never element_at — ANSI mode errors on
-    # out-of-range) + explicit arity guards
+    # registrable domain: full PSL longest-match (r6) — F.get (never
+    # element_at — ANSI mode errors on out-of-range) + explicit arity
+    # guards.  Branch order = prevailing-rule order: exceptions first,
+    # then rules by descending label count (wildcards count parent+1);
+    # same-length exact and wildcard rules agree on the outcome, so
+    # their relative order is immaterial.  Wildcard branches require
+    # n > parent labels (the * must consume a real label).  One InSet
+    # per rule table — all JVM, no UDF.
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.get(parts, n - 2), F.get(parts, n - 1))
-    last3 = F.concat_ws(".", F.get(parts, n - 3), F.get(parts, n - 2),
-                        F.get(parts, n - 1))
+
+    def last_k(k: int):
+        return F.concat_ws(".", *[F.get(parts, n - j)
+                                  for j in range(k, 0, -1)])
+    last1, last2, last3 = last_k(1), last_k(2), last_k(3)
+    last4, last5 = last_k(4), last_k(5)
     domain = F.when(host.isNull(), F.lit(None).cast("string")) \
         .when(tld == "", F.lit("")) \
-        .when(last2.isin(_PUBLIC_SUFFIX_2),
+        .when(last2.isin(_PSL_EXC_2), last2) \
+        .when(last3.isin(_PSL_EXC_3), last3) \
+        .when((n >= 4) & last3.isin(_PSL_WILD_3),
+              F.when(n >= 5, last5).otherwise(F.lit(""))) \
+        .when(last3.isin(_PSL_EXACT_3),
+              F.when(n >= 4, last4).otherwise(F.lit(""))) \
+        .when((n >= 3) & last2.isin(_PSL_WILD_2),
+              F.when(n >= 4, last4).otherwise(F.lit(""))) \
+        .when(last2.isin(_PSL_EXACT_2),
+              F.when(n >= 3, last3).otherwise(F.lit(""))) \
+        .when((n >= 2) & last1.isin(_PSL_WILD_1),
               F.when(n >= 3, last3).otherwise(F.lit(""))) \
         .otherwise(last2)
     # empty segments dropped, so '//a' and 'a//b' count real segments

@@ -1022,7 +1022,26 @@ def test_url_registrable_domain_and_per_domain_sampling(spark):
             (6, "http://co.uk/", ""),            # bare public suffix
             (7, "http://93.184.216.34/p", ""),   # IP literal
             (8, "http://localhost/x", ""),       # dotless
-            (9, "https://www.gov.uk/benefits", "www.gov.uk")]
+            (9, "https://www.gov.uk/benefits", "www.gov.uk"),
+            # r6 full-PSL cases (VERDICT r05 #3):
+            (10, "https://alice.github.io/proj", "alice.github.io"),
+            (11, "https://bob.github.io/", "bob.github.io"),
+            (12, "https://my.blog.blogspot.com/p", "blog.blogspot.com"),
+            (13, "https://k12.ca.us/", ""),            # bare 3-label suffix
+            (14, "https://east.school.k12.ca.us/", "school.k12.ca.us"),
+            (15, "http://anything.ck/", ""),           # *.ck wildcard
+            (16, "http://shop.anything.ck/", "shop.anything.ck"),
+            (17, "http://www.ck/", "www.ck"),          # !www.ck exception
+            (18, "http://sub.www.ck/", "www.ck"),
+            (19, "http://ward.kawasaki.jp/", ""),      # *.kawasaki.jp
+            (20, "http://x.ward.kawasaki.jp/", "x.ward.kawasaki.jp"),
+            (21, "http://city.kawasaki.jp/", "city.kawasaki.jp"),  # !city
+            (22, "http://kawasaki.jp/", "kawasaki.jp"),  # * needs a label
+            (23, "https://bucket.s3.amazonaws.com/k", "bucket.s3.amazonaws.com"),
+            (24, "https://ec2-1-2-3-4.compute.amazonaws.com/",
+             ""),                                  # *.compute = 4-label suffix
+            (25, "https://site.ec2-1-2-3-4.compute.amazonaws.com/",
+             "site.ec2-1-2-3-4.compute.amazonaws.com")]
     df = spark.createDataFrame([(i, u) for i, u, _ in urls],
                                "doc_id LONG, url STRING")
     got = with_url_features(df).toPandas().set_index("doc_id")
@@ -1034,6 +1053,12 @@ def test_url_registrable_domain_and_per_domain_sampling(spark):
         feats, {"example.co.uk": 1.0}, key="doc_id", stratum="url_domain",
         default_rate=0.0)
     assert sorted(r.doc_id for r in kept.collect()) == [0, 1]
+    # ... but alice.github.io and bob.github.io are DISTINCT strata
+    # (r6 private-section rules): selecting alice's site keeps only it
+    kept_gh = stratified_sample_deterministic(
+        feats, {"alice.github.io": 1.0}, key="doc_id",
+        stratum="url_domain", default_rate=0.0)
+    assert sorted(r.doc_id for r in kept_gh.collect()) == [10]
 
 
 def test_dedup_families_null_quality_and_null_key(spark):
