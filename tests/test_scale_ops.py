@@ -1372,3 +1372,55 @@ def test_bfs_null_edges_regimes_agree(spark):
     # present at hop 0
     assert (None, 0) in a and not any(n == 3 for n, _ in a)
     assert {(0, 0), (1, 1), (2, 2)} <= a and (4, 1) not in a
+
+
+def test_pack_bin_padding_within_bound_of_global_bfd(spark):
+    """VERDICT r05 #6: BFD-within-hash-random-groups pays a MEASURED
+    padding premium over one global serial BFD.  On heavy-tailed
+    (lognormal) and worst-case (uniform) length fixtures the measured
+    excess is <=0.6% of packs (lognormal ~0.09%, uniform ~0.53%, at
+    4096-doc groups); this pins the documented bound of 1.5% on the
+    real distributed path."""
+    import bisect
+
+    import numpy as np
+
+    from hexscape_spark.textops import with_pack_index
+
+    W = 2048
+
+    def serial_bfd_packs(lengths):
+        recs = sorted(enumerate(lengths), key=lambda r: (-int(r[1]), r[0]))
+        open_packs, npacks = [], 0
+        for k, t in recs:
+            t = int(t)
+            if t > W:
+                npacks += 1
+                continue
+            i = bisect.bisect_left(open_packs, (t, -1))
+            if i == len(open_packs):
+                bisect.insort(open_packs, (W - t, npacks))
+                npacks += 1
+            else:
+                rem, pi = open_packs.pop(i)
+                bisect.insort(open_packs, (rem - t, pi))
+        return npacks
+
+    rng = np.random.RandomState(7)
+    for lengths in (
+            np.clip(rng.lognormal(5.5, 1.2, 12000).astype(int), 1, None),
+            rng.randint(1, W + 1, 12000)):
+        df = spark.createDataFrame(
+            [(int(i), int(t)) for i, t in enumerate(lengths)],
+            "doc_id LONG, n_tokens LONG")
+        packed = with_pack_index(df, W, mode="bin").toPandas()
+        n_grouped = packed.pack_id.nunique()
+        n_serial = serial_bfd_packs(lengths)
+        excess = (n_grouped - n_serial) / n_serial
+        assert excess <= 0.015, (n_grouped, n_serial, excess)
+        # and the packing is valid: no pack over W (oversize excluded)
+        ok = packed[packed.pack_spans == 1]
+        used = ok.groupby("pack_id").apply(
+            lambda g: (g.pack_offset + g.n_tokens).max(),
+            include_groups=False)
+        assert (used <= W).all()
