@@ -1615,10 +1615,20 @@ def _sql_habitat_identities_duck() -> str:
 
 
 def _q_voronoi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """discretise_voronoi_blocked on seeded points — the distributed scale
-    path (block k-ring candidates, no driver seed funnel); parity with the
-    broadcast path and partition invariants are pytest-verified
-    (rows-only here)."""
+    """discretise_voronoi_blocked on seeded points — the distributed
+    scale path (block k-ring candidates, no driver seed funnel).
+    HYBRID ORACLE GATE (r6, the habitat_patches pattern, per-cell
+    granular): the half-plane construction is not SQL-expressible, but
+    each cell's identities are decidable from the output — the query
+    returns one row per seed, (Index, ok), where ok asserts the cell
+    has positive area, CONTAINS ITS OWN SEED (the defining Voronoi
+    property), and keeps its area-weighted centroid inside the land;
+    plus a global row (Index=0) asserting the cells PARTITION the
+    rectangle (areas sum to the land area within 1e-6).  The DuckDB
+    oracle enumerates the expected 101 TRUE rows, so a lost seed, a
+    duplicated Index, or any identity violation is a driver-visible
+    rows/hash mismatch.  Cell values (areas, adjacency) stay covered by
+    test_voronoi.py parity + invariant tests."""
     import numpy as np
     from hexscape_spark import geo
     from hexscape_spark.voronoi import discretise_voronoi_blocked
@@ -1629,28 +1639,30 @@ def _q_voronoi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Index LONG, x DOUBLE, y DOUBLE")
     land = geo.rect_wkb(0, 0, 10, 10)
     out = discretise_voronoi_blocked(spark, land, points, block_size=2.0,
-                                     keep_geometry=False) \
-        .select("Index", F.round("Area", 9).alias("area_r"),
-                F.round("centroid_x", 9).alias("cx_r"),
-                F.round("centroid_y", 9).alias("cy_r"))
-    # runtime conservation gate (r5, the habitat_patches pattern): the
-    # Voronoi cells of seeds inside a rectangle PARTITION it — areas sum
-    # to the land area, every seed has exactly one non-empty cell, and
-    # every area-weighted centroid lies inside the rectangle
+                                     keep_geometry=True) \
+        .select("Index", "Area", "centroid_x", "centroid_y", "geom_wkb")
     chk = out.toPandas()                          # bounded: seed count
-    if abs(chk.area_r.sum() - 100.0) > 1e-6:
-        raise AssertionError(
-            f"voronoi identity violated: cell areas sum "
-            f"{chk.area_r.sum():.9f} != land area 100")
-    if sorted(chk.Index) != list(range(1, 101)) or (chk.area_r <= 0).any():
-        raise AssertionError("voronoi identity violated: not exactly one "
-                             "non-empty cell per seed")
-    inside = ((chk.cx_r >= 0) & (chk.cx_r <= 10) &
-              (chk.cy_r >= 0) & (chk.cy_r <= 10))
-    if not inside.all():
-        raise AssertionError("voronoi identity violated: centroid "
-                             "outside the landscape")
-    return out
+    seed_xy = {i + 1: (float(x), float(y)) for i, (x, y) in enumerate(pts)}
+    verdict_rows: list[tuple[int, bool]] = [
+        (0, bool(abs(chk.Area.sum() - 100.0) <= 1e-6))]
+    # NOT itertuples: pandas reserves the 'Index' attribute for the row
+    # position, shadowing the column of the same name
+    for idx, area, cx, cy, wkb in zip(chk["Index"], chk["Area"],
+                                      chk["centroid_x"], chk["centroid_y"],
+                                      chk["geom_wkb"]):
+        sx, sy = seed_xy.get(int(idx), (np.nan, np.nan))
+        cell = geo.wkb_to_polygons(bytes(wkb))
+        own = bool(geo.points_in_polygons(
+            np.array([sx]), np.array([sy]), cell)[0])
+        ok = (area > 0 and own and
+              0.0 <= cx <= 10.0 and 0.0 <= cy <= 10.0)
+        verdict_rows.append((int(idx), bool(ok)))
+    return spark.createDataFrame(verdict_rows, "Index LONG, ok BOOLEAN")
+
+
+_SQL_VORONOI_IDENTITIES = """
+SELECT CAST(range AS BIGINT) AS Index, TRUE AS ok FROM range(0, 101)
+"""
 
 
 _DISSOLVE_N = 160
@@ -1883,14 +1895,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_landuse": _q_cover_landuse,
         "patches_landuse": _q_patches_landuse,
         "connectedness": _q_connectedness,
-        # split_patches_hole joined the oracle-gated set in r6 (rect-
-        # minus-slot inclusion–exclusion closed form) -> 48/50 exact.
+        # r6: split_patches_hole joined the exact-oracle set (rect-
+        # minus-slot inclusion–exclusion closed form), and the two
+        # queries whose values genuinely need the NumPy iterative
+        # kernels (KDE+k-means, blocked Voronoi) became HYBRID gates:
+        # they return conservation-identity verdict rows the DuckDB
+        # oracle states expectations for, so ALL 50 queries are now
+        # driver-compared (48 value-exact + 2 identity-verdict).
         "split_patches_hole": _q_split_patches_hole,
-        # geometry kernel (pytest-verified; rows-only check here) —
-        # only the queries whose values genuinely need the NumPy
-        # geometry/iterative kernels (KDE+k-means, iterative Voronoi
-        # swaps) remain rows-only; both RAISE at runtime unless their
-        # conservation identities hold (r5).
         "habitat_patches": _q_habitat_patches,
         "voronoi_cells": _q_voronoi_cells,
     }
@@ -1947,4 +1959,5 @@ def oracle_sql() -> dict[str, str]:
         "connectedness": _sql_connectedness_duck(),
         "split_patches_hole": _sql_split_patches_hole_duck(),
         "habitat_patches": _sql_habitat_identities_duck(),
+        "voronoi_cells": _SQL_VORONOI_IDENTITIES,
     }
