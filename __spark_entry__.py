@@ -858,7 +858,15 @@ def _sql_split_patches_hole_duck() -> str:
     slot and no passage around either end — then its two components ARE
     hex∩topRect and hex∩botRect (the slot blocks the whole band, so
     nothing of the hex survives at band height); otherwise one connected
-    component of area aA − aB (convex∖convex has ≤2 components).  The
+    component of area aA − aB.  CAVEAT (r6 review): convex∖rect can
+    have THREE components — a hex whose V-shaped x_min(y) dips left of
+    the slot's left end mid-band while staying right of it at both band
+    edges leaves a SEALED POCKET, which this classifier would mislabel.
+    The fixture constants avoid that class, and
+    test_split_oracle_matches_kernel_for_every_cell pins it by
+    comparing every lattice cell's kernel component areas against the
+    oracle rows — any future fixture edit that creates a pocket fails
+    the test instead of producing a confusing driver mismatch.  The
     min_prop filter and the dense Index over (q, r, area DESC part
     order) reproduce generate_patches exactly.  Thresholds: nonzero
     areas in this fixture are ≥3e-5, clamp-Green tangency residues

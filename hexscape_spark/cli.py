@@ -146,19 +146,24 @@ def job_webtext(spark, args) -> None:
     # at their first corpus occurrence before quality stats are computed.
     # dedup_lines needs a UNIQUE key and real crawls repeat URLs (re-crawls,
     # records with no WARC-Target-URI): drop byte-identical re-fetches of a
-    # URL first, then key on url#row_number-within-url.  row_number over
-    # (url ORDER BY text) is collision-FREE by construction — the r5 key
-    # url#xxhash64(text) silently merged two documents if distinct texts
-    # under one URL ever collided in the 64-bit hash (ADVICE r05), and
-    # ordering by text is deterministic because (url, text) pairs are
-    # distinct after the groupBy.
+    # URL first, then key on url#xxhash64(text)#row_number-within-
+    # (url, hash).  The row_number disambiguates genuine 64-bit hash
+    # collisions, so the key is collision-FREE (the r5 url#hash key
+    # silently merged colliding documents — ADVICE r05), and the window
+    # partitions on (url, HASH) so its per-partition text sort touches
+    # only actual collisions (~1 row): partitioning on url alone would
+    # funnel every NULL-url record — real crawls have many — into ONE
+    # task sorting full document text (r6 review).
     from pyspark.sql import Window as W
     txt = (txt.groupBy("url", "text")
            .agg(F.min("warc_date").alias("warc_date"))  # deterministic
+           .withColumn("__h", F.xxhash64("text"))
            .withColumn("__doc_key", F.concat_ws(
-               "#", F.col("url"),
+               "#", F.col("url"), F.col("__h").cast("string"),
                F.row_number().over(
-                   W.partitionBy("url").orderBy("text")).cast("string"))))
+                   W.partitionBy("url", "__h").orderBy("text"))
+               .cast("string")))
+           .drop("__h"))
     # hash_shuffle=True is the corpus-scale default here (VERDICT r05 #7):
     # the winner aggregation + its join side move 8-byte xxhash64 line
     # keys instead of full line text.  Trade: two distinct LINES that

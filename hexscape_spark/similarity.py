@@ -37,11 +37,33 @@ def _stack(s: pd.Series) -> np.ndarray:
 
 # DataType OBJECTS, not DDL strings: a module-level pandas_udf with a
 # string return type parses it through the active SparkContext at
-# import time and breaks session-less imports
+# import time and breaks session-less imports.  Both UDFs guard empty
+# Arrow batches and propagate NULL inputs as NULL results — the exact
+# semantics of the HOF forms they replaced (r6 review: np.einsum on a
+# shape-(0,) stack raises, and np.asarray(None) raises TypeError, so an
+# unguarded UDF failed the stage on missing embeddings that previously
+# flowed through as NULL cosine/unit_vec).
+def _scatter(n: int, idx: np.ndarray, vals) -> pd.Series:
+    """Object series with vals at idx positions, None elsewhere — an
+    explicit loop because pandas/numpy masked assignment refuses lists
+    of arrays (putmask length check)."""
+    out = [None] * n
+    for i, v in zip(idx, vals):
+        out[i] = v
+    return pd.Series(out, dtype=object)
+
+
 @F.pandas_udf(DoubleType())
 def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
-    va, vb = _stack(a), _stack(b)
-    return pd.Series(np.einsum("ij,ij->i", va, vb))
+    if len(a) == 0:
+        return pd.Series([], dtype=object)
+    mask = (a.notna() & b.notna()).to_numpy()
+    idx = np.nonzero(mask)[0]
+    if len(idx) == 0:
+        return pd.Series([None] * len(a), dtype=object)
+    va = _stack(a.iloc[idx])
+    vb = _stack(b.iloc[idx])
+    return _scatter(len(a), idx, np.einsum("ij,ij->i", va, vb))
 
 
 def _dot(a, b):
@@ -50,10 +72,16 @@ def _dot(a, b):
 
 @F.pandas_udf(ArrayType(DoubleType()))
 def _unit_arrow(a: pd.Series) -> pd.Series:
-    v = _stack(a)
+    if len(a) == 0:
+        return pd.Series([], dtype=object)
+    mask = a.notna().to_numpy()
+    idx = np.nonzero(mask)[0]
+    if len(idx) == 0:
+        return pd.Series([None] * len(a), dtype=object)
+    v = _stack(a.iloc[idx])
     n = np.linalg.norm(v, axis=1, keepdims=True)
-    u = v / np.where(n == 0, 1.0, n)     # zero vectors stay zero, not NaN
-    return pd.Series(list(u))
+    u = v / np.where(n == 0, 1.0, n)       # zero vectors stay zero, not NaN
+    return _scatter(len(a), idx, list(u))
 
 
 def with_unit_norm(df: DataFrame, vec: str = "embedding",
@@ -76,14 +104,20 @@ def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame,
     k+1 slots for the self-pair), so the final global window reproduces
     the exact result under any partitioning."""
     sc = df.sparkSession.sparkContext
-    qpd = with_unit_norm(queries, vec) \
-        .select(F.col(key).alias("query_id"), "unit_vec").toPandas()
-    bq = sc.broadcast((qpd["query_id"].to_numpy(),
-                       np.array([np.asarray(v, dtype=np.float64)
-                                 for v in qpd["unit_vec"]])))
+    qpd = queries.select(F.col(key).alias("query_id"),
+                         F.col(vec).alias("qv")) \
+        .where(F.col(vec).isNotNull()).toPandas()
+    qm = np.array([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
+    if len(qm):
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        qm = qm / np.where(qn == 0, 1.0, qn)
+    bq = sc.broadcast((qpd["query_id"].to_numpy(), qm))
     key_t = dict(df.dtypes)[key]
-    c = with_unit_norm(df, vec).select(F.col(key).alias("nn_id"),
-                                       "unit_vec")
+    # normalisation happens INSIDE score() (r6 review): a with_unit_norm
+    # pre-pass would push every corpus vector through a second full
+    # Arrow round-trip for nothing
+    c = df.select(F.col(key).alias("nn_id"), F.col(vec).alias("cv")) \
+        .where(F.col(vec).isNotNull())
     schema = f"query_id {key_t}, nn_id {key_t}, cosine DOUBLE"
 
     def score(batches):
@@ -93,7 +127,9 @@ def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame,
             if nb == 0 or len(qids) == 0:
                 continue
             cm = np.array([np.asarray(v, dtype=np.float64)
-                           for v in pdf["unit_vec"]])
+                           for v in pdf["cv"]])
+            n = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.where(n == 0, 1.0, n)
             ids = pdf["nn_id"].to_numpy()
             sims = cm @ qm.T                     # nb x nq
             kk = min(k + 1, nb)                  # +1 survives self-pair drop

@@ -1424,3 +1424,25 @@ def test_pack_bin_padding_within_bound_of_global_bfd(spark):
             lambda g: (g.pack_offset + g.n_tokens).max(),
             include_groups=False)
         assert (used <= W).all()
+
+
+def test_similarity_null_embeddings_flow_through(spark):
+    """r6 review: the Arrow scoring UDFs must propagate NULL embeddings
+    as NULL results (the HOF semantics they replaced), never crash the
+    stage, and brute-force top-k must simply skip NULL rows."""
+    from hexscape_spark.similarity import (cosine_topk_bruteforce, _dot,
+                                           with_unit_norm)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    u = with_unit_norm(df).toPandas().set_index("vec_id")
+    assert u.loc[1, "unit_vec"] is None
+    assert u.loc[2, "unit_vec"] == pytest.approx([0.6, 0.8])
+    dots = df.alias("a").crossJoin(df.alias("b")).select(
+        F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"),
+        _dot(F.col("a.embedding"), F.col("b.embedding")).alias("d")) \
+        .toPandas()
+    assert dots[(dots.i == 1) | (dots.j == 1)].d.isna().all()
+    assert dots[(dots.i == 0) & (dots.j == 2)].d.iloc[0] == pytest.approx(0.6)
+    top = cosine_topk_bruteforce(df, df.where("vec_id = 0"), k=2).toPandas()
+    assert set(top.nn_id) == {2, 3} and 1 not in set(top.nn_id)

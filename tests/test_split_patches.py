@@ -138,3 +138,58 @@ def test_borders_use_part_geometry(split_setup):
     side = P.hex_side(HEXW)
     assert (nb.Border <= side + 1e-9).all()
     assert (nb.Border > 0.01 * side).all()
+
+
+def test_split_oracle_matches_kernel_for_every_cell():
+    """Fixture precondition for the r6 rect-minus-slot ORACLE
+    (__spark_entry__._sql_split_patches_hole_duck): the closed-form
+    severed/unsevered classifier assumes no hex forms a SEALED POCKET
+    at a slot end (possible for convex∖rect: x_min(y) is V-shaped, so
+    it can dip inside the slot's x-range mid-band only).  This compares
+    the NumPy kernel's min_prop-filtered component areas against the
+    oracle rows for EVERY lattice cell — no Spark, no driver — so any
+    fixture-constant edit that breaks the classifier fails here."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as m
+    from hexscape_spark.tiling import _hex_ring
+
+    ax0, ay0, ax1, ay1 = m._SPH_A
+    bx0, by0, bx1, by1 = m._SPH_B
+    w = m._SPH_W
+    refx, refy = m._SPH_REF
+    outer = np.array([[ax0, ay0], [ax1, ay0], [ax1, ay1], [ax0, ay1]], float)
+    hole = np.array([[bx0, by0], [bx0, by1], [bx1, by1], [bx1, by0]], float)
+    h = P.hex_height(w)
+    s = P.hex_side(w)
+    step = (s + h) / 2.0
+    r_lo = math.floor((refy - ay1) / step)
+    r_hi = math.ceil((refy - ay0) / step)
+    tan30 = math.tan(math.pi / 6.0)
+    q_lo = math.floor((ax0 + (ay0 - refy) * tan30 - refx) / w)
+    q_hi = math.ceil((ax1 + (ay1 - refy) * tan30 - refx) / w)
+    min_area = 0.01 * P.hex_area(w)
+    kernel = {}
+    for q in range(q_lo, q_hi + 1):
+        for r in range(r_lo, r_hi + 1):
+            cx = refx + r * (w / 2.0) + q * w
+            cy = refy - r * step
+            hexring = _hex_ring(cx, cy, w)
+            comps = geo.clip_polygon_components([outer, hole], hexring)
+            areas = sorted(round(a, 9) for a in
+                           (geo.polygon_area(c) for c in comps)
+                           if a >= min_area)
+            if areas:
+                kernel[(q, r)] = areas
+    odf = duckdb.connect().execute(m._sql_split_patches_hole_duck()).df()
+    oracle = {}
+    for row in odf.itertuples(index=False):
+        oracle.setdefault((row.q, row.r), []).append(row.area_r)
+    oracle = {k: sorted(v) for k, v in oracle.items()}
+    assert set(kernel) == set(oracle)
+    for cell in kernel:
+        assert kernel[cell] == pytest.approx(oracle[cell], abs=1e-9), cell
+    # the fixture genuinely exercises splitting
+    assert sum(len(v) > 1 for v in kernel.values()) >= 2
