@@ -72,3 +72,36 @@ def test_exact_near_tangent_vertex_on_edge():
     want = 8.0 + 6.0                 # rect + triangle, touching at a point
     assert area == pytest.approx(want, abs=0)
     assert geo.polygons_area(out) == pytest.approx(want, rel=1e-15)
+
+
+def test_adversarial_near_tangency_unions_are_exact():
+    """Directed stress on the r5 sliver class the r6 exact fallback
+    closes: polygons whose vertices are planted within 1e-5..1e-12 of
+    another polygon's edge (both sides), plus exactly-on-edge.  The
+    float-first path must either trace within 1e-9·area or fall back to
+    the exact kernel — either way the returned boundary's area must
+    match the independent strip-sweep union_area."""
+    rng = np.random.RandomState(11)
+    for trial in range(60):
+        # base: a random quad
+        base = np.array([[0.0, 0.0], [10.0, 0.0],
+                         [10.0 + rng.uniform(-2, 2), 8.0],
+                         [rng.uniform(-2, 2), 9.0]])
+        # partner triangle with one vertex planted eps off base's top edge
+        a, b = base[2], base[3]
+        t = rng.uniform(0.2, 0.8)
+        p = a + t * (b - a)
+        nrm = np.array([-(b - a)[1], (b - a)[0]])
+        nrm = nrm / np.linalg.norm(nrm)
+        eps = [1e-5, 1e-7, 1e-9, 1e-12, 0.0][trial % 5]
+        side = 1 if trial % 2 == 0 else -1
+        apex = p + side * eps * nrm
+        tri = np.array([apex,
+                        apex + [rng.uniform(1, 3), rng.uniform(2, 4)],
+                        apex + [rng.uniform(-3, -1), rng.uniform(2, 4)]])
+        polys = [[base], [tri]]
+        want = geo.union_area(polys)
+        u = geo.union_polygons(polys)
+        got = geo.polygons_area(u)
+        assert abs(got - want) <= max(2e-9, 1e-9 * want), \
+            (trial, eps, side, got - want)
