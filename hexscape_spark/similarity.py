@@ -53,11 +53,21 @@ def _scatter(n: int, idx: np.ndarray, vals) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalise, zero rows staying zero (never NaN) — the single
+    home of the zero-vector convention (r6 review: it was copy-pasted
+    three times)."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
 @F.pandas_udf(DoubleType())
 def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     if len(a) == 0:
         return pd.Series([], dtype=object)
     mask = (a.notna() & b.notna()).to_numpy()
+    if mask.all():                 # hot path: no NULLs, float64 buffer out
+        return pd.Series(np.einsum("ij,ij->i", _stack(a), _stack(b)))
     idx = np.nonzero(mask)[0]
     if len(idx) == 0:
         return pd.Series([None] * len(a), dtype=object)
@@ -75,13 +85,12 @@ def _unit_arrow(a: pd.Series) -> pd.Series:
     if len(a) == 0:
         return pd.Series([], dtype=object)
     mask = a.notna().to_numpy()
+    if mask.all():                 # hot path: no NULLs
+        return pd.Series(list(_unit_rows(_stack(a))))
     idx = np.nonzero(mask)[0]
     if len(idx) == 0:
         return pd.Series([None] * len(a), dtype=object)
-    v = _stack(a.iloc[idx])
-    n = np.linalg.norm(v, axis=1, keepdims=True)
-    u = v / np.where(n == 0, 1.0, n)       # zero vectors stay zero, not NaN
-    return _scatter(len(a), idx, list(u))
+    return _scatter(len(a), idx, list(_unit_rows(_stack(a.iloc[idx]))))
 
 
 def with_unit_norm(df: DataFrame, vec: str = "embedding",
@@ -109,8 +118,7 @@ def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame,
         .where(F.col(vec).isNotNull()).toPandas()
     qm = np.array([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
     if len(qm):
-        qn = np.linalg.norm(qm, axis=1, keepdims=True)
-        qm = qm / np.where(qn == 0, 1.0, qn)
+        qm = _unit_rows(qm)
     bq = sc.broadcast((qpd["query_id"].to_numpy(), qm))
     key_t = dict(df.dtypes)[key]
     # normalisation happens INSIDE score() (r6 review): a with_unit_norm
@@ -126,10 +134,8 @@ def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame,
             nb = len(pdf)
             if nb == 0 or len(qids) == 0:
                 continue
-            cm = np.array([np.asarray(v, dtype=np.float64)
-                           for v in pdf["cv"]])
-            n = np.linalg.norm(cm, axis=1, keepdims=True)
-            cm = cm / np.where(n == 0, 1.0, n)
+            cm = _unit_rows(np.array([np.asarray(v, dtype=np.float64)
+                                      for v in pdf["cv"]]))
             ids = pdf["nn_id"].to_numpy()
             sims = cm @ qm.T                     # nb x nq
             kk = min(k + 1, nb)                  # +1 survives self-pair drop
@@ -187,6 +193,25 @@ def with_lsh_buckets(df: DataFrame, vec: str = "embedding",
     def buckets_udf(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
+        mask = v.notna().to_numpy()
+        if not mask.all():
+            # NULL embeddings hash to a NULL bucket array (r6 review —
+            # np.array over a None-bearing batch raised and failed the
+            # stage); element_at then yields NULL bucket keys, which
+            # every downstream equi-join drops, so NULL-vector rows
+            # simply never become candidates
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                return pd.Series([None] * len(v), dtype=object)
+            x = np.array(v.iloc[idx].tolist(), dtype=np.float64)
+            bits = (x @ mat) > 0
+            cols = [bits[:, t * n_p:(t + 1) * n_p].astype(np.int64) @ pw
+                    for t in range(n_t)]
+            vals = np.column_stack(cols).tolist()
+            out = [None] * len(v)
+            for i, val in zip(idx, vals):
+                out[i] = val
+            return pd.Series(out, dtype=object)
         x = np.array(v.tolist(), dtype=np.float64)
         bits = (x @ mat) > 0
         cols = [bits[:, t * n_p:(t + 1) * n_p].astype(np.int64) @ pw
@@ -207,8 +232,10 @@ def ivf_train_centroids(df: DataFrame, vec: str = "embedding",
     deterministic sample (the scale-standard approach — the quantizer is
     tiny; the corpus never leaves the executors)."""
     import numpy as np
-    rows = (with_unit_norm(df, vec).select("unit_vec")
-            .limit(sample).collect())
+    rows = (with_unit_norm(df.where(F.col(vec).isNotNull()), vec)
+            .select("unit_vec").limit(sample).collect())
+    if not rows:
+        raise ValueError("ivf_train_centroids: no non-null vectors")
     x = np.array([r["unit_vec"] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centers = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
@@ -265,13 +292,18 @@ def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
     `queries` optionally restricts the query side (same schema as `df`;
     default: every corpus row queries) — the corpus is always `df`, like
     cosine_topk_bruteforce's (df, queries) contract."""
+    # NULL embeddings cannot be routed to a list nor scored: exclude
+    # them from both sides (r6 review — they previously crashed the
+    # quantizer and could pad a sparse query's top-k with NULL cosines)
+    df = df.where(F.col(vec).isNotNull())
     cents = ivf_train_centroids(df, vec, n_lists, dim, seed)
     u = with_unit_norm(df, vec)
     corpus = with_ivf_list(u, cents, nprobe=1).select(
         F.col(key).alias("nn_id"), F.col("unit_vec").alias("cv"),
         F.element_at("ivf_list", 1).alias("list_id")) \
         .repartition(F.col("list_id"))     # barrier + join-key pre-shuffle
-    qsrc = u if queries is None else with_unit_norm(queries, vec)
+    qsrc = u if queries is None else with_unit_norm(
+        queries.where(F.col(vec).isNotNull()), vec)
     queries = with_ivf_list(qsrc, cents, nprobe=nprobe).select(
         F.col(key).alias("query_id"), F.col("unit_vec").alias("qv"),
         F.explode("ivf_list").alias("list_id")) \
@@ -310,6 +342,7 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
     rounding before ranking keeps last-ulp summation differences from
     flipping near-ties.
     """
+    df = df.where(F.col(vec).isNotNull())   # NULL vectors can't hash/score
     u = with_unit_norm(df, vec)
     # sketch the RAW vector, not the unit-normed one (r4 ADVICE): the sign
     # bits are scale-invariant, and hashing the same bytes the SQL oracle

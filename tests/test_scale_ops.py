@@ -1446,3 +1446,21 @@ def test_similarity_null_embeddings_flow_through(spark):
     assert dots[(dots.i == 0) & (dots.j == 2)].d.iloc[0] == pytest.approx(0.6)
     top = cosine_topk_bruteforce(df, df.where("vec_id = 0"), k=2).toPandas()
     assert set(top.nn_id) == {2, 3} and 1 not in set(top.nn_id)
+
+
+def test_ann_paths_tolerate_null_embeddings(spark):
+    """r6 review follow-up: LSH and IVF must not crash on NULL
+    embeddings — NULL vectors hash to NULL buckets / are excluded from
+    both corpus and query sides, and never appear in any top-k."""
+    from hexscape_spark.similarity import cosine_topk_ivf, cosine_topk_lsh
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+            for i in range(30)] + [(97, None), (98, None)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    lsh = cosine_topk_lsh(df, k=3, planes=4, dim=8, tables=2).toPandas()
+    assert not lsh.empty
+    assert not set(lsh.query_id) & {97, 98}
+    assert not set(lsh.nn_id) & {97, 98}
+    ivf = cosine_topk_ivf(df, k=3, n_lists=4, nprobe=4, dim=8).toPandas()
+    assert not ivf.empty
+    assert not set(ivf.query_id) & {97, 98}
+    assert not set(ivf.nn_id) & {97, 98}
