@@ -105,3 +105,15 @@ def test_adversarial_near_tangency_unions_are_exact():
         got = geo.polygons_area(u)
         assert abs(got - want) <= max(2e-9, 1e-9 * want), \
             (trial, eps, side, got - want)
+
+
+def test_exact_union_shared_edge_merges_seamlessly():
+    """Coincident collinear boundaries (the hex-dissolve case): rects
+    sharing a full edge union into ONE component with exact area and no
+    interior seam vertices on the shared edge."""
+    polys = [[geo.rect_ring(0, 0, 1, 1)], [geo.rect_ring(1, 0, 2, 1)],
+             [geo.rect_ring(0, 1, 2, 2)]]
+    out, area = geo_exact.exact_union_trace(polys)
+    assert area == pytest.approx(4.0, abs=0)
+    assert len(out) == 1 and len(out[0]) == 1
+    assert geo.polygon_area(out[0]) == pytest.approx(4.0, rel=1e-15)
