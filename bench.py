@@ -72,6 +72,17 @@ def _total_cpu_jiffies() -> int:
     return sum(v[:3]) + sum(v[5:8])
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal jiffies — CPU the HOST took from this guest.
+    Recorded separately (r6): steal shows up inside the external-cores
+    number (it is busy-not-ours), but its remedy is different — guest
+    processes can be killed, host contention can only be waited out,
+    and a run with high steal should be read as host-noisy even when
+    the guest itself is quiet."""
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
 def _self_tree_jiffies() -> int:
     """utime+stime+cutime+cstime summed over this process and every live
     descendant (the Spark JVM and its Python workers).  cutime/cstime
@@ -114,12 +125,16 @@ class _PassLoadMeter:
         self.t0 = time.time()
         self.tot0 = _total_cpu_jiffies()
         self.own0 = _self_tree_jiffies()
+        self.steal0 = _steal_jiffies()
+        self.steal_cores = 0.0
 
     def stop(self) -> float:
         dt = max(time.time() - self.t0, 1e-9)
         hz = os.sysconf("SC_CLK_TCK")
         ext = (_total_cpu_jiffies() - self.tot0) \
             - (_self_tree_jiffies() - self.own0)
+        self.steal_cores = max(
+            0.0, (_steal_jiffies() - self.steal0) / (dt * hz))
         return max(0.0, ext / (dt * hz))
 
 
@@ -166,6 +181,7 @@ def _throughput(spark) -> dict:
     best = 1e18
     reps = []
     ext_cores = []
+    steal_cores = []
     n_cells = 0
     meter = _PassLoadMeter()
     for _ in range(max(3, THROUGHPUT_REPS)):
@@ -174,6 +190,7 @@ def _throughput(spark) -> dict:
         n_cells = job().count()
         dt = time.time() - t0
         ext_cores.append(round(meter.stop(), 2))
+        steal_cores.append(round(meter.steal_cores, 2))
         reps.append(round(dt, 3))
         best = min(best, dt)
     return {"pages_per_sec": round(THROUGHPUT_PAGES / best, 1),
@@ -182,6 +199,7 @@ def _throughput(spark) -> dict:
             "throughput_sec": round(best, 3),
             "throughput_reps_sec": reps,
             "throughput_external_cores": ext_cores,
+            "throughput_steal_cores": steal_cores,
             "load_1min_after_throughput": round(os.getloadavg()[0], 2)}
 
 
@@ -204,6 +222,7 @@ def main() -> None:
     rows: dict[str, int] = {}
     pass_totals: list[float] = []
     pass_external_cores: list[float] = []
+    pass_steal_cores: list[float] = []
     meter = _PassLoadMeter()
     # up to 2 extra passes if a pass ran against external load, so the
     # min-of-passes number usually includes at least one clean pass
@@ -222,6 +241,7 @@ def main() -> None:
             timings[name] = min(timings.get(name, 1e18), dt)
         pass_totals.append(round(time.time() - t_all, 4))
         pass_external_cores.append(round(meter.stop(), 2))
+        pass_steal_cores.append(round(meter.steal_cores, 2))
         done += 1
     total = round(sum(timings.values()), 4)
     thr = _throughput(spark)
@@ -239,6 +259,7 @@ def main() -> None:
         "timing": "per-query min over reps in one JVM",
         "pass_totals": pass_totals,
         "pass_external_cores": pass_external_cores,
+        "pass_steal_cores": pass_steal_cores,
         "pass_load_ok": [x <= LOAD_LIMIT for x in pass_external_cores],
         **load_info,
         **thr,
