@@ -570,3 +570,162 @@ def contamination_flags(df: DataFrame, benchmark: DataFrame,
             .withColumn("is_contaminated",
                         F.col("contaminated_ngrams") > 0)
             .unionByName(nulls))
+
+
+# --- exact repeated-SUBSTRING dedup (the suffix-array stage) ----------------
+
+_FNV_OFF = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_U64 = 2 ** 64
+
+
+def _token_hashes(tokens: list[str], memo: dict) -> np.ndarray:
+    """Deterministic 64-bit FNV-1a per token, memoised per batch (the
+    vocabulary is far smaller than the token stream)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = _FNV_OFF
+            for c in t.encode("utf-8", "surrogatepass"):
+                h = ((h ^ c) * _FNV_PRIME) % _U64
+            memo[t] = h
+        out[i] = h
+    return out
+
+
+def _rolling_gram_hashes(tokh: np.ndarray, L: int) -> np.ndarray:
+    """All L-gram polynomial hashes of a token-hash sequence in O(n),
+    fully vectorised: gram_i = Σ_k t_{i+k}·B^{L-1-k} (mod 2^64) via
+    wrapping prefix sums of t_k·B^{-k} (B is odd, hence invertible mod
+    2^64) re-scaled by B^{L-1+i}."""
+    n = len(tokh)
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    B = np.uint64(_FNV_PRIME)
+    invB = np.uint64(pow(_FNV_PRIME, -1, _U64))
+    with np.errstate(over="ignore"):
+        # powers B^0..B^{n+L-2} and invB^0..invB^{n-1} by wrapping cumprod
+        bp = np.ones(n + L, dtype=np.uint64)
+        bp[1:] = B
+        bp = np.cumprod(bp)
+        ip = np.ones(n, dtype=np.uint64)
+        ip[1:] = invB
+        ip = np.cumprod(ip)
+        pref = np.zeros(n + 1, dtype=np.uint64)
+        pref[1:] = np.cumsum(tokh * ip)
+        i = np.arange(n - L + 1)
+        return (pref[L + i] - pref[i]) * bp[L - 1 + i]
+
+
+def dedup_substrings(df: DataFrame, key: str = "doc_id",
+                     text: str = "text",
+                     out: str = "text_substr_deduped",
+                     min_tokens: int = 50) -> DataFrame:
+    """Corpus-wide EXACT repeated-substring deduplication — the
+    suffix-array stage of published LLM pipelines (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public
+    knowledge): any token span of >= `min_tokens` tokens that occurs
+    more than once in the corpus keeps its global FIRST occurrence
+    (minimum (key, position), the dedup_lines winner rule) and is
+    excised everywhere else, including repeats inside one document.
+
+    Exact rule: token j of a document is removed iff EVERY
+    `min_tokens`-gram covering it is a non-first occurrence of its gram
+    text.  A repeated span of m tokens therefore loses its interior
+    (m − 2·(min_tokens−1) tokens) at each later occurrence while the
+    straddling boundary grams keep the span edges — the standard
+    token-level approximation of byte-level suffix-array excision.  The
+    FIRST occurrence is always preserved in full.
+
+    Scale shape (suffix arrays don't distribute; rolling-hash content
+    discovery does): one map-only pass emits (gram_hash, key, pos) per
+    token via O(n) vectorised polynomial rolling hashes (wrapping
+    uint64 prefix sums — no per-gram work); ONE groupBy on the 8-byte
+    gram hash picks the global first occurrence as a combinable
+    MIN(struct) with map-side partial aggregation; the duplicate
+    positions join back per document and a second map-only pass excises
+    tokens via a windowed all-duplicate test (prefix-count arithmetic).
+    Shuffle volume is 8-byte hashes x token count — the same
+    hash_shuffle trade dedup_lines documents (a 2^-64 polynomial
+    collision merges two gram classes).  The gram pass runs TWICE (the
+    winner aggregate and the duplicate join both read it): recomputing
+    a map-only O(n) rolling-hash stage is deliberately cheaper at
+    corpus scale than materialising a token-count-row relation, and the
+    persisted input keeps upstream lineage from re-running.
+
+    Caveats, documented deliberately: tokens are `str.split()`
+    whitespace tokens and the output rejoins survivors with single
+    spaces, so whitespace runs normalise (token-level pipelines
+    tokenise downstream anyway); `key` values must be unique non-NULL
+    for participating rows — NULL-key or NULL-text rows pass through
+    untouched like dedup_lines."""
+    key_t = dict(df.dtypes)[key]
+    df = df.persist()
+    nulls = df.where(F.col(key).isNull() | F.col(text).isNull()) \
+        .withColumn(out, F.col(text))
+    live = df.where(F.col(key).isNotNull() & F.col(text).isNotNull())
+    L = int(min_tokens)
+    gram_schema = f"gh LONG, k {key_t}, pos INT"
+
+    def emit_grams(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            memo: dict = {}
+            ghs, ks, ps = [], [], []
+            for kv, txt in zip(pdf[key], pdf[text]):
+                toks = txt.split()
+                g = _rolling_gram_hashes(_token_hashes(toks, memo), L)
+                if len(g):
+                    ghs.append(g.astype(np.int64))   # LONG column
+                    ks.append(np.repeat(kv, len(g)))
+                    ps.append(np.arange(len(g), dtype=np.int32))
+            if not ghs:
+                continue
+            yield pd.DataFrame({"gh": np.concatenate(ghs),
+                                "k": np.concatenate(ks),
+                                "pos": np.concatenate(ps)})
+
+    grams = live.select(key, text).mapInPandas(emit_grams,
+                                               schema=gram_schema)
+    winners = grams.groupBy("gh").agg(
+        F.min(F.struct(F.col("k"), F.col("pos"))).alias("w"))
+    dups = (grams.join(winners, on="gh")
+            .where(~((F.col("w.k") == F.col("k")) &
+                     (F.col("w.pos") == F.col("pos"))))
+            .groupBy(F.col("k").alias(key))
+            .agg(F.sort_array(F.collect_list("pos")).alias("__dpos")))
+    joined = live.join(dups, on=key, how="left")
+    out_fields = ", ".join(
+        f"`{c}` {t}" for c, t in joined.drop("__dpos").dtypes) \
+        + f", `{out}` STRING"
+
+    def excise(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = []
+            for txt, dpos in zip(pdf[text], pdf["__dpos"]):
+                toks = txt.split()
+                n = len(toks)
+                if dpos is None or len(dpos) == 0 or n < L:
+                    res.append(" ".join(toks))
+                    continue
+                dup = np.zeros(n - L + 1, dtype=np.int64)
+                dup[np.asarray(dpos, dtype=np.int64)] = 1
+                # token j removed iff grams [max(0,j-L+1) .. min(j,n-L)]
+                # are ALL dup: zero non-dup in the covering range
+                nondup_pref = np.concatenate([[0], np.cumsum(1 - dup)])
+                j = np.arange(n)
+                a = np.maximum(0, j - L + 1)
+                b = np.minimum(j, n - L)
+                removed = nondup_pref[b + 1] - nondup_pref[a] == 0
+                res.append(" ".join(t for t, r in zip(toks, removed)
+                                    if not r))
+            o = pdf.drop(columns=["__dpos"])
+            o[out] = res
+            yield o
+
+    deduped = joined.mapInPandas(excise, schema=out_fields)
+    return deduped.unionByName(nulls)

@@ -189,3 +189,24 @@ def test_contamination_benchmark_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_substring_dedup_plan_shape(spark):
+    """dedup_substrings (r6): the only Python stages are the two
+    map-only Arrow passes (gram emission, excision); content discovery
+    is ONE hash aggregate on the 8-byte gram hash with map-side partial
+    combine; no cartesian or nested-loop join anywhere."""
+    from hexscape_spark.dedup import dedup_substrings
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(4)],
+        "doc_id LONG, text STRING")
+    plan = _plan(dedup_substrings(df, min_tokens=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # emit_grams appears TWICE (winner-agg branch + dup-join branch:
+    # recomputing a map-only O(n) hash pass beats materialising a
+    # token-scale relation) + one excision pass = 3 Arrow stages
+    assert plan.count("MapInPandas") == 3, plan
+    # the single content shuffle is hash-partitioned on the 8-byte gram
+    # hash, never on gram text
+    assert "hashpartitioning(gh" in plan, plan

@@ -1464,3 +1464,85 @@ def test_ann_paths_tolerate_null_embeddings(spark):
     assert not ivf.empty
     assert not set(ivf.query_id) & {97, 98}
     assert not set(ivf.nn_id) & {97, 98}
+
+
+def _serial_substr_dedup(docs, L):
+    """Hash-free reference for dedup_substrings: gram identity by actual
+    token tuples, winner = min (key, pos), removal = every covering gram
+    duplicated."""
+    occ = {}
+    toks = {k: t.split() for k, t in docs}
+    for k, _ in docs:
+        for i in range(len(toks[k]) - L + 1):
+            occ.setdefault(tuple(toks[k][i:i + L]), []).append((k, i))
+    out = {}
+    for k, _ in docs:
+        n = len(toks[k])
+        dup = [False] * max(0, n - L + 1)
+        for i in range(len(dup)):
+            g = tuple(toks[k][i:i + L])
+            dup[i] = min(occ[g]) != (k, i)
+        kept = []
+        for j in range(n):
+            cover = range(max(0, j - L + 1), min(j, n - L) + 1)
+            if n >= L and all(dup[i] for i in cover):
+                continue
+            kept.append(toks[k][j])
+        out[k] = " ".join(kept)
+    return out
+
+
+def test_dedup_substrings_matches_serial_reference(spark):
+    """dedup_substrings == the hash-free serial rule on a corpus with a
+    shared paragraph, an intra-doc repeat, and clean docs; the FIRST
+    occurrence survives in full; partitioning doesn't change results."""
+    import numpy as np
+    import pandas as pd
+
+    from hexscape_spark.dedup import dedup_substrings
+    rng = np.random.RandomState(5)
+    words = [f"w{i}" for i in range(500)]
+    para = " ".join(rng.choice(words, 30))
+    docs = [
+        (1, "intro " + para + " tail one"),
+        (2, "other opening words " + para + " different ending"),
+        (3, " ".join(rng.choice(words, 60))),
+        (4, "short doc"),
+        (5, para + " " + " ".join(rng.choice(words, 12)) + " " + para),
+    ]
+    L = 8
+    want = _serial_substr_dedup(docs, L)
+    df = spark.createDataFrame(docs + [(None, "x y z"), (6, None)],
+                               "doc_id LONG, text STRING")
+    got = dedup_substrings(df, min_tokens=L).toPandas()
+    by = got.set_index("doc_id", drop=False)
+    for k, _ in docs:
+        assert by.loc[k, "text_substr_deduped"] == want[k], k
+    # doc 1 is the global first occurrence of the paragraph: kept in full
+    assert want[1] == "intro " + para + " tail one"
+    # doc 2 lost the paragraph interior (30 - 2*(L-1) = 16 tokens gone)
+    assert len(want[2].split()) == len(docs[1][1].split()) - (30 - 2 * (L - 1))
+    # NULL key/text pass through untouched
+    assert by.loc[6, "text_substr_deduped"] is None or \
+        pd.isna(by.loc[6, "text_substr_deduped"])
+    nk = got[got.doc_id.isna()]
+    assert len(nk) == 1 and nk.text_substr_deduped.iloc[0] == "x y z"
+    # partitioning invariance
+    got2 = dedup_substrings(df.repartition(7), min_tokens=L).toPandas() \
+        .set_index("doc_id", drop=False)
+    for k, _ in docs:
+        assert got2.loc[k, "text_substr_deduped"] == want[k], ("repart", k)
+
+
+def test_dedup_substrings_whole_doc_duplicate_empties_later_copy(spark):
+    """A verbatim re-crawl (every gram duplicated) is excised entirely at
+    its later key while the first copy keeps every byte of its token
+    stream."""
+    from hexscape_spark.dedup import dedup_substrings
+    body = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame([(10, body), (20, body)],
+                               "doc_id LONG, text STRING")
+    got = dedup_substrings(df, min_tokens=10).toPandas() \
+        .set_index("doc_id")
+    assert got.loc[10, "text_substr_deduped"] == body
+    assert got.loc[20, "text_substr_deduped"] == ""
