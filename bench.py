@@ -64,23 +64,17 @@ LOAD_LIMIT = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_LIMIT", "2.0"))
 LOAD_WAIT_MAX_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "180"))
 
 
-def _total_cpu_jiffies() -> int:
-    """Busy jiffies across all CPUs (user+nice+system+irq+softirq+steal —
-    everything except idle/iowait) from /proc/stat."""
+def _cpu_jiffies() -> tuple[int, int]:
+    """(busy, steal) jiffies across all CPUs from ONE /proc/stat read —
+    busy = user+nice+system+irq+softirq+steal (everything except
+    idle/iowait).  Steal is reported separately too (r6): it sits
+    inside the external-cores number (busy-not-ours) but its remedy
+    differs — guest noise can be killed, host contention only waited
+    out — so a host-noisy run is distinguishable from a guest-noisy
+    one.  Kernels exposing fewer fields simply report 0 steal."""
     with open("/proc/stat") as f:
         v = [int(x) for x in f.readline().split()[1:]]
-    return sum(v[:3]) + sum(v[5:8])
-
-
-def _steal_jiffies() -> int:
-    """Hypervisor steal jiffies — CPU the HOST took from this guest.
-    Recorded separately (r6): steal shows up inside the external-cores
-    number (it is busy-not-ours), but its remedy is different — guest
-    processes can be killed, host contention can only be waited out,
-    and a run with high steal should be read as host-noisy even when
-    the guest itself is quiet."""
-    with open("/proc/stat") as f:
-        return int(f.readline().split()[8])
+    return sum(v[:3]) + sum(v[5:8]), (v[7] if len(v) > 7 else 0)
 
 
 def _self_tree_jiffies() -> int:
@@ -123,18 +117,18 @@ class _PassLoadMeter:
 
     def start(self) -> None:
         self.t0 = time.time()
-        self.tot0 = _total_cpu_jiffies()
+        self.tot0, self.steal0 = _cpu_jiffies()
         self.own0 = _self_tree_jiffies()
-        self.steal0 = _steal_jiffies()
         self.steal_cores = 0.0
 
     def stop(self) -> float:
         dt = max(time.time() - self.t0, 1e-9)
         hz = os.sysconf("SC_CLK_TCK")
-        ext = (_total_cpu_jiffies() - self.tot0) \
-            - (_self_tree_jiffies() - self.own0)
-        self.steal_cores = max(
-            0.0, (_steal_jiffies() - self.steal0) / (dt * hz))
+        # one cpu-line read for busy AND steal, BEFORE the /proc tree
+        # walk, so both deltas cover the same window (r6 review)
+        tot1, steal1 = _cpu_jiffies()
+        ext = (tot1 - self.tot0) - (_self_tree_jiffies() - self.own0)
+        self.steal_cores = max(0.0, (steal1 - self.steal0) / (dt * hz))
         return max(0.0, ext / (dt * hz))
 
 

@@ -646,9 +646,11 @@ def dedup_substrings(df: DataFrame, key: str = "doc_id",
     MIN(struct) with map-side partial aggregation; the duplicate
     positions join back per document and a second map-only pass excises
     tokens via a windowed all-duplicate test (prefix-count arithmetic).
-    Shuffle volume is 8-byte hashes x token count — the same
-    hash_shuffle trade dedup_lines documents (a 2^-64 polynomial
-    collision merges two gram classes).  The gram pass runs TWICE (the
+    The content-DISCOVERY shuffle is 8-byte hashes x token count — the
+    same hash_shuffle trade dedup_lines documents (a 2^-64 polynomial
+    collision merges two gram classes); the excision join-back then
+    shuffles the document text once on the doc key (the output IS text
+    — the same caveat as dedup_lines' reassembly join).  The gram pass runs TWICE (the
     winner aggregate and the duplicate join both read it): recomputing
     a map-only O(n) rolling-hash stage is deliberately cheaper at
     corpus scale than materialising a token-count-row relation, and the
