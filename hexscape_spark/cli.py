@@ -121,8 +121,9 @@ def job_webtext(spark, args) -> None:
     """The CommonCrawl-shaped text pipeline: .warc.gz segments ->
     response records -> HTML visible-text extraction -> corpus-wide
     boilerplate LINE dedup (r5) -> token/quality/language enrichment ->
-    repetition filter -> exact dedup (keep first).  `--pages` is the
-    WARC glob; output is the clean corpus."""
+    repetition filter -> exact dedup (keep first) -> optional
+    repeated-SUBSTRING excision (r6, --substr-dedup N).  `--pages` is
+    the WARC glob; output is the clean corpus."""
     from pyspark.sql import functions as F
 
     from .dedup import dedup_keep_first, dedup_lines
@@ -178,6 +179,15 @@ def job_webtext(spark, args) -> None:
     filtered = with_quality_filter(enriched)
     clean = dedup_keep_first(filtered.withColumnRenamed("url", "doc_id"),
                              key="doc_id")
+    if args.substr_dedup:
+        # opt-in suffix-array-style stage (r6): excise >=N-token spans
+        # repeated anywhere in the corpus, keeping first occurrences.
+        # Runs AFTER exact dedup (whole-doc copies are cheaper there)
+        # and last overall so excision sees the final document set.
+        from .dedup import dedup_substrings
+        clean = dedup_substrings(clean, key="doc_id",
+                                 min_tokens=args.substr_dedup) \
+            .drop("text").withColumnRenamed("text_substr_deduped", "text")
     clean.write.mode("overwrite").parquet(args.out)
     n_in = docs.count()
     docs.unpersist()
@@ -223,6 +233,10 @@ def main(argv: list[str] | None = None) -> None:
     runp.add_argument("--size", type=float, default=50.0)
     runp.add_argument("--num-hashes", type=int, default=32)
     runp.add_argument("--bands", type=int, default=8)
+    runp.add_argument("--substr-dedup", type=int, default=0,
+                      metavar="N", help="webtext: also excise token "
+                      "spans >= N repeated anywhere in the corpus "
+                      "(0 = off; 50 is the published convention)")
     runp.add_argument("--max-bucket", type=int, default=10_000,
                       help="LSH bucket cap for the dedup job (0 = no cap)")
     runp.add_argument("--regroup", type=int, default=None,
