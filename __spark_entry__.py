@@ -124,6 +124,24 @@ def _sql_events_hex_rollup() -> str:
         f"FROM ({sub}) AS t GROUP BY cell_id, event_type")
 
 
+def _sql_events_hex_rollup_spark() -> str:
+    """Spark-side text of the events rollup (r7): identical arithmetic to
+    _sql_events_hex_rollup (which the DuckDB oracle keeps) with ONE
+    delta — a REPARTITION(event_id) hint after the read, because the
+    events fixture is a single-row-group parquet file whose fused
+    scan+assign+partial-agg otherwise runs as one task (guide §2.5
+    "input skew: repartition immediately after the read").  Aggregates
+    are COUNT and integer-cents SUM, so the repartitioning cannot move
+    a single bit of the result."""
+    sub = sqlgen.assign_sql(
+        "(SELECT /*+ REPARTITION(event_id) */ * FROM events)", "event_id",
+        keep=["event_type", "value"])
+    return (
+        "SELECT cell_id, event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        f"FROM ({sub}) AS t GROUP BY cell_id, event_type")
+
+
 def _kring_values(k: int) -> str:
     rows = [f"({dq}, {dr})" for dq in range(-k, k + 1) for dr in range(-k, k + 1)
             if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= k]
@@ -1383,6 +1401,73 @@ def _q_cover_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("proportion", 9).alias("proportion_r"))
 
 
+def _q_hex_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side plan for the J2 axial-adjacency self-join (r7): the
+    shared-SQL form re-executed the docs-assign + DISTINCT subtree on
+    BOTH sides of the self-join, each with the join-key IsNotNull
+    inference re-inlining the full assign expression tree into a scan
+    Filter (see _assign_ckpt).  The occupied-cell set is computed once,
+    checkpointed, and self-joined with the 6-offset table broadcast —
+    identical rows to _sql_hex_neighbours (the DuckDB oracle keeps that
+    text): pure integer arithmetic, no float involved."""
+    _views(spark, sf_dir)
+    cells = _assign_ckpt(spark, "documents", "doc_id",
+                         "q, r, cell_id", distinct=True)
+    offs = spark.createDataFrame(
+        [(-1, 0, "NW"), (-1, 1, "NE"), (0, -1, "W"),
+         (0, 1, "E"), (1, -1, "SW"), (1, 0, "SE")],
+        "dr INT, dq INT, direction STRING")
+    a = cells.select(F.col("q").alias("aq"), F.col("r").alias("ar"),
+                     F.col("cell_id"))
+    b = cells.select(F.col("q").alias("bq"), F.col("r").alias("br"),
+                     F.col("cell_id").alias("nbr_cell_id"))
+    return (a.crossJoin(F.broadcast(offs))
+            .join(F.broadcast(b),
+                  [F.col("bq") == F.col("aq") + F.col("dq"),
+                   F.col("br") == F.col("ar") + F.col("dr")])
+            .select("cell_id", "nbr_cell_id", "direction"))
+
+
+def _q_hex_kring_profile(spark: SparkSession, sf_dir: str,
+                         disk_k: int = 2, max_k: int = 3) -> DataFrame:
+    """Spark-side plan for the kRing disk/ring profile (r7): same
+    two-sided subtree re-execution + IsNotNull re-inlining fix as
+    _q_hex_neighbours — the per-cell count relation is computed once,
+    checkpointed, and joined against its offset-shifted self.  All
+    aggregates are integer sums, so the rows are bit-identical to the
+    shared SQL text the oracle keeps (_sql_hex_kring_profile)."""
+    _views(spark, sf_dir)
+    sub = sqlgen.assign_sql(
+        "(SELECT /*+ REPARTITION(doc_id) */ * FROM documents)", "doc_id")
+    cells = spark.sql(
+        "SELECT q, r, cell_id, COUNT(*) AS n FROM (" + sub +
+        ") AS t GROUP BY q, r, cell_id").localCheckpoint(eager=True)
+    offs = spark.createDataFrame(
+        [(dq, dr, (abs(dq) + abs(dr) + abs(dq + dr)) // 2)
+         for dq in range(-max_k, max_k + 1)
+         for dr in range(-max_k, max_k + 1)
+         if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= max_k],
+        "dq INT, dr INT, ring INT")
+    shifted = (cells.select("cell_id", "q", "r")
+               .crossJoin(F.broadcast(offs))
+               .select("cell_id", (F.col("q") + F.col("dq")).alias("sq"),
+                       (F.col("r") + F.col("dr")).alias("sr"), "ring"))
+    b = cells.select(F.col("q").alias("bq"), F.col("r").alias("br"),
+                     F.col("n"))
+    ring_aggs = [
+        F.sum(F.when(F.col("ring") == k, F.col("n")).otherwise(F.lit(0)))
+        .cast("long").alias(f"n_ring{k}") for k in range(1, max_k + 1)]
+    return (shifted.join(F.broadcast(b), [F.col("bq") == F.col("sq"),
+                                          F.col("br") == F.col("sr")])
+            .groupBy("cell_id")
+            .agg(F.sum(F.when(F.col("ring") <= disk_k, F.col("n"))
+                       .otherwise(F.lit(0))).cast("long").alias("n_in_disk"),
+                 F.sum(F.when(F.col("ring") <= disk_k, F.lit(1))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("cells_in_disk"),
+                 *ring_aggs))
+
+
 def _q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-cell rollup; results identical to a plain groupBy, so
     the plain SQL is its oracle (salting must be invisible in results)."""
@@ -1823,12 +1908,69 @@ def _sql_hex_nearest_cell_fast(k: int = 3) -> str:
         "SELECT event_id, b.c AS nn_cell_id, ROUND(b.d, 6) AS dist_r FROM best")
 
 
+def _assign_ckpt(spark: SparkSession, table: str, key: str,
+                 select: str, distinct: bool = False) -> DataFrame:
+    """Materialised hex-assign relation (r7, guide §2.4/§2.5/§4):
+
+      * the fixture tables are single-row-group parquet files, so a plain
+        scan (and everything Catalyst fuses onto it) runs as ONE task —
+        a REPARTITION(key) hint right after the read spreads the assign
+        arithmetic across the session's shuffle partitions (deterministic
+        hash key, not round-robin, so retries are safe per SPARK-38388);
+      * the eager localCheckpoint materialises (key, lon, lat, q, r) so
+        downstream equi-joins see a plain relation.  Without it, the
+        join-key IsNotNull inference re-substitutes the WHOLE layered
+        geocode+cube-rounding alias chain into a scan-level Filter (and
+        CollapseProject re-inlines it per consumer) — the resulting
+        many-thousand-node condition blows codegen and was measured at
+        21 s for hex_nearest_cell at sf1.0 vs ~1.4 s for the assign
+        itself.  The checkpoint is INSIDE the timed query and recomputed
+        from parquet on every invocation — nothing persists across runs.
+    """
+    sub = sqlgen.assign_sql(
+        f"(SELECT /*+ REPARTITION({key}) */ * FROM {table})", key)
+    d = "DISTINCT " if distinct else ""
+    return spark.sql(f"SELECT {d}{select} FROM ({sub}) AS t") \
+        .localCheckpoint(eager=True)
+
+
 def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast + min-struct path of the J8 nearest-feature join
     (knn.nearest_cells semantics); bit-parity with the ROW_NUMBER shared-SQL
-    oracle is asserted in pytest as well."""
+    oracle is asserted in pytest as well.
+
+    r7 (guide §1/§2.4): both assign sides are materialised via
+    _assign_ckpt (see there — the inner-join IsNotNull inference was
+    re-inlining the full assign expression tree into scan Filters on
+    BOTH sides, 21.1 s at sf1.0 for a query whose assign costs 1.4 s).
+    The tiny occupied side expands by the 37 kRing offsets WITH its
+    centroid precomputed per expanded row (once per occ×37, not once
+    per event×candidate), broadcasts, and each event makes one hash
+    probe feeding a combinable MIN(struct) — measured 21.1 s → ~3.5 s
+    at sf1.0, exceptAll-parity in both directions."""
     _views(spark, sf_dir)
-    return spark.sql(_sql_hex_nearest_cell_fast())
+    ev = _assign_ckpt(spark, "events", "event_id",
+                      "event_id, lon, lat, q, r")
+    occ = _assign_ckpt(spark, "documents", "doc_id",
+                       "q AS cq, r AS cr, cell_id", distinct=True)
+    k = 3
+    offs = [(dq, dr) for dq in range(-k, k + 1) for dr in range(-k, k + 1)
+            if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= k]
+    offs_df = spark.createDataFrame(offs, "dq INT, dr INT")
+    cx, cy = sqlgen.centroid_exprs("cq", "cr")
+    expd = (occ.crossJoin(offs_df)
+            .selectExpr("cq - dq AS kq", "cr - dr AS kr", "cell_id",
+                        f"{cx} AS cx", f"{cy} AS cy"))
+    dist = F.sqrt(
+        (F.col("lon") - F.col("cx")) * (F.col("lon") - F.col("cx")) +
+        (F.col("lat") - F.col("cy")) * (F.col("lat") - F.col("cy")))
+    return (ev.join(F.broadcast(expd),
+                    [F.col("kq") == F.col("q"), F.col("kr") == F.col("r")])
+            .groupBy("event_id")
+            .agg(F.min(F.struct(dist.alias("d"),
+                                F.col("cell_id").alias("c"))).alias("b"))
+            .select("event_id", F.col("b.c").alias("nn_cell_id"),
+                    F.round("b.d", 6).alias("dist_r")))
 
 
 # ---------------------------------------------------------------------------
@@ -1857,11 +1999,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_assign_docs": _sqlq(_sql_hex_assign_docs),
         "hex_cell_counts": _sqlq(_sql_hex_cell_counts),
         "hex_cell_lang_mode": _sqlq(_sql_hex_cell_lang_mode),
-        "hex_neighbours": _sqlq(_sql_hex_neighbours),
-        "hex_kring_profile": _sqlq(_sql_hex_kring_profile),
+        "hex_neighbours": _q_hex_neighbours,
+        "hex_kring_profile": _q_hex_kring_profile,
         "raster_to_hex": _sqlq(_sql_raster_to_hex),
         "hex_lattice_square": _sqlq(_sql_hex_lattice_square_spark),
-        "events_hex_rollup": _sqlq(_sql_events_hex_rollup),
+        "events_hex_rollup": _sqlq(_sql_events_hex_rollup_spark),
         "hex_nearest_cell": _q_nearest_cell_knn,
         "salted_cell_counts": _q_salted_cell_counts,
         "bfs_hops": _q_bfs_hops,
