@@ -697,7 +697,12 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("vd"))
     q = e.where("vec_id < 10").select(F.col("vec_id").alias("query_id"),
                                       F.col("vd").alias("qv"))
-    c = e.select(F.col("vec_id").alias("nn_id"), F.col("vd").alias("cv"))
+    # r7 (guide §2.5): the embeddings fixture is a single-row-group file,
+    # so the scan + interpreted HOF dot-fold ran as ONE task; spreading
+    # the corpus side first parallelises the fold with the arithmetic
+    # (and hence every bit of the result) unchanged.
+    c = e.select(F.col("vec_id").alias("nn_id"), F.col("vd").alias("cv")) \
+        .repartition(F.col("nn_id"))
     dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0.0D, (a, v) -> a + v)")
     scored = (c.join(F.broadcast(q), F.col("nn_id") != F.col("query_id"))
               .withColumn("cos_r", F.round(dot, 6)))

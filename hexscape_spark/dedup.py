@@ -114,12 +114,16 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
     catches more cheaply.  Returns distinct (a, b), a < b.
     """
     rows = num_hashes // bands
-    sig = with_minhash(df.select(key, text), text, num_hashes, shingle_k)
-    # Exchange barrier: CollapseProject would otherwise inline the whole
-    # signature expression into every band-column element_at, recomputing
-    # the minhash num_hashes x bands times (measured 10x wall-clock); the
-    # repartition materialises signatures exactly once.
-    sig = sig.drop(text).repartition(F.col(key))
+    # r7: repartition BEFORE the signature expressions (single-row-group
+    # inputs otherwise compute every signature on one task), and
+    # materialise the signatures with a localCheckpoint — it both stops
+    # CollapseProject inlining the whole signature expression into every
+    # band-column element_at (the job of the old repartition barrier,
+    # measured 10x wall-clock) AND stops the bucket self-join re-running
+    # the signature subtree once per branch (guide §2.4/§2.5).
+    sig = with_minhash(df.select(key, text).repartition(F.col(key)),
+                       text, num_hashes, shingle_k)
+    sig = sig.drop(text).localCheckpoint(eager=True)
     band_cols = [
         F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("minhash"), i * rows + j + 1).cast("string")
                                       for j in range(rows)]), F.lit(1000 + i)).alias(f"b{i}")
@@ -179,12 +183,14 @@ def minhash_lsh_pairs_portable(df: DataFrame, key: str = "doc_id",
             out.append(mixed.min(axis=0).tolist())
         return pd.Series(out)
 
-    sig = df.select(F.col(key), signature(F.col(text)).alias("__m"))
+    # r7 (guide §2.5/§4): repartition BEFORE the signature UDF — a
+    # single-row-group input file otherwise funnels the whole corpus
+    # through one Python worker (deterministic hash key, retry-safe)
+    sig = df.select(F.col(key), F.col(text)).repartition(F.col(key)) \
+        .select(F.col(key), signature(F.col(text)).alias("__m"))
     sig = sig.select(
         key, *[F.element_at("__m", i + 1).alias(f"m{i}")
                for i in range(num_hashes)])
-    # exchange barrier: signatures computed once, not per band column
-    sig = sig.repartition(F.col(key))
     band_cols = [
         F.concat_ws(",", *[F.col(f"m{b * rows + j}").cast("string")
                            for j in range(rows)]).alias(f"b{b}")
@@ -195,6 +201,12 @@ def minhash_lsh_pairs_portable(df: DataFrame, key: str = "doc_id",
             F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
             for b in range(bands)])).alias("bh"))
     buckets = buckets.select(key, "bh.band", "bh.h")
+    # materialise ONCE: the bucket self-join (and the optional size-cap
+    # aggregate) would otherwise re-execute the whole signature subtree
+    # per consumer — Catalyst has no cross-branch subtree reuse (r7,
+    # guide §2.4; replaces the old repartition barrier, which only
+    # stopped per-band re-inlining, not per-branch re-execution)
+    buckets = buckets.localCheckpoint(eager=True)
     return _bucket_pairs(buckets, key, max_bucket)
 
 
@@ -259,10 +271,17 @@ def ngram_jaccard_pairs_portable(df: DataFrame, key: str = "doc_id",
     # appear in a candidate pair (semi-join prefilter), not the corpus
     ids = (cands.select(F.col("a").alias(key))
            .unionByName(cands.select(F.col("b").alias(key))).distinct())
+    # r7: repartition after the semi-join (single-row-group input -> the
+    # JVM shingle transform ran on one task) and materialise the shingle
+    # sets ONCE — both verify joins consume them, and without the
+    # checkpoint each join side re-built every candidate's shingle array
+    # (guide §2.4/§2.5)
     sh = (df.join(ids, on=key, how="left_semi")
+          .repartition(F.col(key))
           .select(F.col(key),
                   F.array_distinct(_shingles(F.col(text), shingle_k))
-                  .alias("ss")))
+                  .alias("ss"))
+          .localCheckpoint(eager=True))
     j = (cands.join(sh.selectExpr(f"{key} AS a", "ss AS sa"), on="a")
          .join(sh.selectExpr(f"{key} AS b", "ss AS sb"), on="b"))
     jac = F.round(F.size(F.array_intersect("sa", "sb"))
@@ -306,11 +325,14 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, key: str = "vec_id",
     dropped before the self-join (degenerate identical-vector clusters).
     Returns (a, b, cosine) with a < b and cosine >= threshold (6 dp)."""
     from .similarity import _dot, with_lsh_buckets, with_unit_norm
-    u = with_unit_norm(df, vec)
+    # r7: one spread Arrow pass for norm+sketches, materialised once —
+    # see cosine_topk_lsh (same four-branch re-execution fix)
+    base = df.where(F.col(vec).isNotNull()) \
+        .select(key, vec).repartition(F.col(key))
+    u = with_unit_norm(base, vec)
     b = with_lsh_buckets(u, "unit_vec", planes, dim, tables)
-    # exchange barrier: sketches computed once, not re-inlined per consumer
-    b = b.select(key, *[f"__b{t}" for t in range(tables)]) \
-         .repartition(F.col(key))
+    b = b.select(key, "unit_vec", *[f"__b{t}" for t in range(tables)]) \
+         .localCheckpoint(eager=True)
     buckets = b.select(
         key, F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("h"))
@@ -326,7 +348,7 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, key: str = "vec_id",
     cands = (lhs.join(rhs, on=["tbl", "h"])
              .where(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
-    vecs = u.select(F.col(key), F.col("unit_vec"))
+    vecs = b.select(F.col(key), F.col("unit_vec"))
     pairs = (cands
              .join(vecs.selectExpr(f"{key} AS a", "unit_vec AS ua"), on="a")
              .join(vecs.selectExpr(f"{key} AS b", "unit_vec AS ub"), on="b"))
@@ -352,10 +374,14 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
         .localCheckpoint(eager=True)   # feeds the semi-join AND the verify
     cand_ids = (cands.select(F.col("a").alias(key))
                 .unionByName(cands.select(F.col("b").alias(key))).distinct())
+    # r7: spread + materialise the shingle sets once — see
+    # ngram_jaccard_pairs_portable
     sh = (df.join(cand_ids, on=key, how="left_semi")
+          .repartition(F.col(key))
           .select(F.col(key),
                   F.array_distinct(_shingles(F.col(text),
-                                             shingle_k)).alias("sh")))
+                                             shingle_k)).alias("sh"))
+          .localCheckpoint(eager=True))
     j = (cands.join(sh.withColumnRenamed("sh", "sh_a"), cands.a == sh[key]).drop(key)
          .join(sh.withColumnRenamed("sh", "sh_b"), cands.b == sh[key]).drop(key))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")) /

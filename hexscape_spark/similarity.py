@@ -343,16 +343,25 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
     flipping near-ties.
     """
     df = df.where(F.col(vec).isNotNull())   # NULL vectors can't hash/score
-    u = with_unit_norm(df, vec)
+    # r7 (guide §2.4/§2.5/§4): ONE Arrow pass computes unit vectors AND
+    # every table's sketch (adjacent pandas UDFs share one
+    # ArrowEvalPython node), spread across cores by a repartition first
+    # (single-row-group inputs otherwise hash the whole corpus in one
+    # Python worker), then the (key, unit_vec, buckets) relation is
+    # materialised ONCE with a localCheckpoint.  Before, the candidate
+    # self-join and the two vector-attach joins were four independent
+    # branches, each re-running scan + norm/sketch UDFs (4 parquet
+    # scans, 2x buckets_udf, 2x _unit_arrow in the physical plan).  The
+    # old repartition barrier only stopped expression re-inlining, not
+    # per-branch re-execution.
+    base = df.select(key, vec).repartition(F.col(key))
     # sketch the RAW vector, not the unit-normed one (r4 ADVICE): the sign
     # bits are scale-invariant, and hashing the same bytes the SQL oracle
     # hashes removes the one cross-engine flake source — a normalised
     # component differing in the last ulp flipping a near-zero plane dot
-    b = with_lsh_buckets(u, vec, planes, dim, tables)
-    # exchange barrier: stops CollapseProject re-inlining the norm +
-    # plane-dot expression trees per consumer (sketches computed once)
-    b = b.select(key, *[f"__b{t}" for t in range(tables)]) \
-         .repartition(F.col(key))
+    b = with_lsh_buckets(with_unit_norm(base, vec), vec, planes, dim, tables)
+    b = b.select(key, "unit_vec", *[f"__b{t}" for t in range(tables)]) \
+         .localCheckpoint(eager=True)
     buckets = b.select(
         key, F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("h"))
@@ -368,7 +377,7 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
     cands = (lhs.join(rhs, on=["tbl", "h"])
              .where(F.col("query_id") != F.col("nn_id"))
              .select("query_id", "nn_id").distinct())
-    vecs = u.select(F.col(key), F.col("unit_vec"))
+    vecs = b.select(F.col(key), F.col("unit_vec"))
     scored = (cands
               .join(vecs.select(F.col(key).alias("query_id"),
                                 F.col("unit_vec").alias("qv")), on="query_id")
