@@ -351,14 +351,20 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def _q_top_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    """Top-1 order per customer.  r7 (guide §2.3 "aggregate before you
+    shuffle"): the ROW_NUMBER window shuffled and sorted every order row;
+    MIN(struct(-price, orderkey)) is the identical ordering (struct
+    comparison is field-order lexicographic, integers exact) as a
+    combinable aggregate — map-side partials shuffle one row per
+    (task, custkey).  1.52 s -> 0.48 s at sf1.0, exceptAll parity."""
     _views(spark, sf_dir)
     o = spark.table("orders").withColumn(
         "price_cents", F.expr(_CENTS.format(c="o_totalprice")))
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("price_cents"), F.asc("o_orderkey"))
-    return (o.withColumn("rn", F.row_number().over(w)).where("rn = 1")
-            .select("o_custkey", "o_orderkey", "price_cents"))
+    best = (o.groupBy("o_custkey")
+            .agg(F.min(F.struct((-F.col("price_cents")).alias("np"),
+                                F.col("o_orderkey").alias("k"))).alias("b")))
+    return best.select("o_custkey", F.col("b.k").alias("o_orderkey"),
+                       (-F.col("b.np")).alias("price_cents"))
 
 
 _SQL_TOP_ORDER = f"""
@@ -431,16 +437,23 @@ FROM orders GROUP BY o_custkey
 
 
 def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (guide §3.1/§2.3): the orders side is moderately small per
+    post-shuffle partition, so a shuffled-hash hint skips the sort of
+    6M lineitem rows the default sort-merge paid, and both join inputs
+    are projected to exactly the columns the join needs before their
+    exchanges.  1.55 s -> ~1.1 s at sf1.0, exceptAll parity."""
     _views(spark, sf_dir)
     li = spark.table("lineitem").withColumn(
         "rev_e4", F.expr(_CENTS.format(c="l_extendedprice"))
         * (100 - F.expr(_CENTS.format(c="l_discount"))))
-    o = spark.table("orders")
-    c = spark.table("customer")
-    n = spark.table("nation")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    o = spark.table("orders").select("o_orderkey", "o_custkey") \
+        .hint("SHUFFLE_HASH")
+    c = spark.table("customer").select("c_custkey", "c_nationkey")
+    n = spark.table("nation").select("n_nationkey", "n_name")
+    return (li.select("l_orderkey", "rev_e4")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("n_name")
             .agg(F.sum("rev_e4").alias("revenue_e4"),
                  F.count(F.lit(1)).alias("n_items")))

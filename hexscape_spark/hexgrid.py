@@ -132,10 +132,13 @@ def lattice(spark: SparkSession, minx: float, miny: float, maxx: float,
     nr = r_hi - r_lo + 1
     nq = q_hi - q_lo + 1
     if num_partitions is None:
-        # ~4k cells per task: small lattices avoid per-task Python-worker
-        # overhead; planet-scale lattices still fan out fully
+        # ~256 cells per task (r7, guide §2.5): the old 4096-cell target
+        # put the fixture-scale lattice's entire clip stage in ONE Python
+        # task; per-task worker overhead is ~10-30 ms, far below the
+        # serial-clip cost it was avoiding.  Planet-scale lattices still
+        # fan out fully (capped at the session parallelism either way).
         num_partitions = max(1, min(spark.sparkContext.defaultParallelism,
-                                    (nr * nq) // 4096 + 1))
+                                    (nr * nq) // 256 + 1))
     rng = spark.range(0, nr * nq, 1, num_partitions)
     df = rng.selectExpr(
         f"CAST(id % {nq} + {q_lo} AS BIGINT) AS q",

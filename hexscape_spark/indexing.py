@@ -16,14 +16,27 @@ from pyspark.sql import functions as F
 
 
 def dense_index(df: DataFrame, order_cols: list[str], out: str = "Index",
-                start: int = 1) -> DataFrame:
+                start: int = 1, small: bool = False) -> DataFrame:
     """Add a dense global index following the total order of `order_cols`.
 
     Equivalent to row_number() over a global window, but scalable: rows are
     range-partitioned by the sort key, numbered within partitions, and
     shifted by the exclusive prefix-sum of partition counts (collected to
     the driver — one long per partition).
+
+    `small=True` (r7, guide §1.2): callers that KNOW the row count is
+    bounded (e.g. a lattice whose dimensions are computed driver-side)
+    take the plain single-window path — identical numbering, ONE job
+    (the checkpoint) instead of three (range-partition sample, counts
+    collect, checkpoint).  The single-partition sort that makes this
+    non-scalable is exactly why it is opt-in.
     """
+    if small:
+        from pyspark.sql.window import Window
+        w = Window.orderBy(*order_cols)
+        return (df.withColumn(
+                    out, (F.row_number().over(w) + (start - 1)).cast("long"))
+                .localCheckpoint(eager=True))
     # repartitionByRange SAMPLES its input to pick boundaries — without a
     # persist here the upstream lineage (e.g. the clip UDF) executes once
     # for the sample pass and again for every downstream job

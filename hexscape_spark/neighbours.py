@@ -83,11 +83,21 @@ def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
                             F.lit(None).cast("double").alias("Border"),
                             "Direction", "nb_area")
 
+    # r7 (guide §2.4): the fast/slow split used to evaluate the `edges`
+    # join subtree TWICE (one branch per filter) and union the results;
+    # a single pass computes the fast-path constant inside the UDF row-
+    # wise instead — identical values, one join execution, no union.
+    # Geometry payloads are nulled for complete edges first, so the
+    # fast-path majority still ships no polygon bytes through Arrow.
     complete = (F.col("area") > (1.0 - min_prop) * hexarea) & \
                (F.col("nb_area") > (1.0 - min_prop) * hexarea)
-    fast = edges.where(complete).withColumn("Border", F.lit(float(hexlth)))
-
-    slow_in = edges.where(~complete)
+    edges = edges.withColumn("__complete", complete)
+    if has_geom:
+        edges = (edges
+                 .withColumn("geom_wkb", F.when(~F.col("__complete"),
+                                                F.col("geom_wkb")))
+                 .withColumn("nb_geom", F.when(~F.col("__complete"),
+                                               F.col("nb_geom"))))
     ls_bytes = landscape_wkb
     w_ = hex_width
     schema = ("Index LONG, Neighbour LONG, Border DOUBLE, Direction STRING, "
@@ -95,6 +105,7 @@ def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
 
     use_geom = has_geom
     eps = 1e-7 * hex_width
+    hexlth_f = float(hexlth)
 
     def border_lengths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ls = geo.wkb_to_polygons(ls_bytes)
@@ -106,7 +117,13 @@ def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
             cx = pdf["hex_cx"].to_numpy()
             cy = pdf["hex_cy"].to_numpy()
             dirs = pdf["Direction"].to_numpy()
+            comp = pdf["__complete"].to_numpy()
             for i in range(len(pdf)):
+                if comp[i]:
+                    # both patches complete: Border = hex side exactly
+                    # (R/generate_neighbours.R:86-93), zero geometry work
+                    borders[i] = hexlth_f
+                    continue
                 (ax, ay), (bx, by) = eo[dirs[i]]
                 p0 = np.array([cx[i] + ax, cy[i] + ay])
                 p1 = np.array([cx[i] + bx, cy[i] + by])
@@ -140,8 +157,6 @@ def generate_neighbours(patches: DataFrame, landscape_wkb: bytes,
             out["nb_area"] = pdf["nb_area"].to_numpy()
             yield out
 
-    slow = slow_in.mapInPandas(border_lengths, schema=schema)
-
+    bordered = edges.mapInPandas(border_lengths, schema=schema)
     cols = ["Index", "Neighbour", "Border", "Direction", "nb_area"]
-    return (fast.select(*cols).unionByName(slow.select(*cols))
-            .where(F.col("Border") > min_prop * hexlth))
+    return bordered.select(*cols).where(F.col("Border") > min_prop * hexlth)

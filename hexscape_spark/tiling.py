@@ -274,7 +274,22 @@ def generate_patches(spark: SparkSession, landscape_wkb: bytes,
     # dense Index over (q, r): exact reference ordering (is.na first is moot
     # here — removed/impassable rows are not emitted).  Split parts within a
     # cell get consecutive indices in deterministic (area desc) part order.
-    patches = dense_index(patches, ["q", "r", "__part"], out="Index") \
+    # r7: the lattice dimensions are known driver-side, so a bounded
+    # lattice (< 2^18 cells) takes dense_index's one-job single-window
+    # path — identical numbering, two fewer planning jobs per call.
+    h_ = P.hex_height(hex_width)
+    s_ = P.hex_side(hex_width)
+    step_ = (s_ + h_) / 2.0
+    import math as _math
+    n_cells = ((_math.ceil((refy - miny) / step_)
+                - _math.floor((refy - maxy) / step_) + 1)
+               * (_math.ceil((maxx + (maxy - refy) * _math.tan(_math.pi / 6.0)
+                              - refx) / hex_width)
+                  - _math.floor((minx + (miny - refy)
+                                 * _math.tan(_math.pi / 6.0)
+                                 - refx) / hex_width) + 1))
+    patches = dense_index(patches, ["q", "r", "__part"], out="Index",
+                          small=n_cells < (1 << 18)) \
         .drop("__part")
 
     # ---- land-use proportions + wide LU_* columns --------------------------
