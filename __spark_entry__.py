@@ -684,7 +684,10 @@ def _q_lang_dist_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination_docs under the 50-entry cap)."""
     _views(spark, sf_dir)
     from hexscape_spark.textops import with_lang_guess
-    return (with_lang_guess(spark.table("documents"))
+    # r7 (guide §2.5): spread the single-row-group scan before the
+    # per-row marker scoring; counts and integer sums are partition-exact
+    return (with_lang_guess(spark.table("documents")
+                            .repartition(F.col("doc_id")))
             .groupBy("source", "lang", "lang_guess")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("n_chars").alias("sum_chars")))
@@ -1491,7 +1494,15 @@ def _q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain SQL is its oracle (salting must be invisible in results)."""
     _views(spark, sf_dir)
     from hexscape_spark.skew import salted_agg
-    ev = spark.sql(sqlgen.assign_sql("events", "event_id", keep=["value"]))
+    # r7: salted_agg reads its input twice (heavy-key detection pass +
+    # the salted aggregation) — materialise the assigned events ONCE via
+    # a spread localCheckpoint instead of two single-task scan+assign
+    # executions (guide §2.4/§2.5).  sample_fraction=1.0 makes the heavy
+    # set exact counts, and the final per-cell count/int-cents sums are
+    # partition-exact, so the result cannot change.
+    ev = spark.sql(sqlgen.assign_sql(
+        "(SELECT /*+ REPARTITION(event_id) */ * FROM events)", "event_id",
+        keep=["value"])).localCheckpoint(eager=True)
     ev = ev.withColumn("value_cents",
                        F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
     out = salted_agg(ev, key="cell_id", sums=["value_cents"],
