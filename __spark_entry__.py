@@ -1816,8 +1816,13 @@ def _q_dissolve_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hexscape_spark import geo
     from hexscape_spark.dissolve import dissolve
+    # r7 (guide §2.5 inverse): size the range slices to the input — the
+    # default 32 slices put ~5 rows in each of 32 Python map tasks for
+    # to_wkb/bbox/pre-union, pure per-task Arrow overhead.  ≥32 rows per
+    # slice; same ids, same rows (the oracle keeps its own range text).
+    slices = max(1, min(32, _DISSOLVE_N // 32))
     rects = spark.sql(_dissolve_rects_sql(
-        f"SELECT id AS i FROM range(0, {_DISSOLVE_N})"))
+        f"SELECT id AS i FROM range(0, {_DISSOLVE_N}, 1, {slices})"))
 
     def to_wkb(batches):
         for pdf in batches:
