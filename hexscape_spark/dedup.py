@@ -506,6 +506,10 @@ def dedup_lines(df: DataFrame, key: str = "doc_id", text: str = "text",
     distinct lines collide in xxhash64 (~2^-64 per pair), which would
     merge their dedup classes — the exact default keeps the oracle-grade
     semantics.
+
+    The input persist lives for the application unless the CALLER
+    unpersists `df` after materialising the output (ADVICE r06) — the
+    operator cannot release it itself because the returned plan is lazy.
     """
     import re as _re
 
@@ -672,15 +676,23 @@ def dedup_substrings(df: DataFrame, key: str = "doc_id",
     MIN(struct) with map-side partial aggregation; the duplicate
     positions join back per document and a second map-only pass excises
     tokens via a windowed all-duplicate test (prefix-count arithmetic).
-    The content-DISCOVERY shuffle is 8-byte hashes x token count — the
-    same hash_shuffle trade dedup_lines documents (a 2^-64 polynomial
-    collision merges two gram classes); the excision join-back then
-    shuffles the document text once on the doc key (the output IS text
-    — the same caveat as dedup_lines' reassembly join).  The gram pass runs TWICE (the
+    The content-DISCOVERY shuffle carries (gram_hash, key, pos) per
+    token — the 8-byte gram hash plus the doc key and a 4-byte
+    position, so with string keys (e.g. URLs) the repeated key
+    dominates the shuffled bytes (ADVICE r06; map doc keys to a compact
+    integer surrogate upstream when that matters — the operator itself
+    takes whatever `key` it is given).  The same hash_shuffle trade as
+    dedup_lines applies (a 2^-64 polynomial collision merges two gram
+    classes); the excision join-back then shuffles the document text
+    once on the doc key (the output IS text — the same caveat as
+    dedup_lines' reassembly join).  The gram pass runs TWICE (the
     winner aggregate and the duplicate join both read it): recomputing
     a map-only O(n) rolling-hash stage is deliberately cheaper at
     corpus scale than materialising a token-count-row relation, and the
-    persisted input keeps upstream lineage from re-running.
+    persisted input keeps upstream lineage from re-running.  The
+    persist lives for the application unless the CALLER unpersists
+    after materialising the output (`df` is the persisted handle) —
+    same contract as dedup_lines/contamination_flags (ADVICE r06).
 
     Caveats, documented deliberately: tokens are `str.split()`
     whitespace tokens and the output rejoins survivors with single

@@ -116,6 +116,17 @@ def cosine_topk_bruteforce(df: DataFrame, queries: DataFrame,
     qpd = queries.select(F.col(key).alias("query_id"),
                          F.col(vec).alias("qv")) \
         .where(F.col(vec).isNotNull()).toPandas()
+    # ADVICE r06: the 'queries small' contract was unenforced — a huge
+    # query set silently OOMed the driver instead of failing fast
+    if len(qpd) > 1_000_000:
+        raise ValueError(
+            f"cosine_topk_bruteforce: {len(qpd)} query rows collect to the "
+            "driver as a dense matrix; this path requires a small query "
+            "set (use the corpus as df and the small side as queries)")
+    dims = {len(v) for v in qpd["qv"]}
+    if len(dims) > 1:
+        raise ValueError(
+            f"cosine_topk_bruteforce: ragged query vector dimensions {sorted(dims)}")
     qm = np.array([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
     if len(qm):
         qm = _unit_rows(qm)
@@ -227,13 +238,24 @@ def with_lsh_buckets(df: DataFrame, vec: str = "embedding",
 
 def ivf_train_centroids(df: DataFrame, vec: str = "embedding",
                         n_lists: int = 16, dim: int = 64, seed: int = 42,
-                        sample: int = 4096) -> list[list[float]]:
+                        sample: int = 4096,
+                        pre_normalized: bool = False) -> list[list[float]]:
     """IVF coarse quantizer: k-means centroids trained driver-side on a
     deterministic sample (the scale-standard approach — the quantizer is
-    tiny; the corpus never leaves the executors)."""
+    tiny; the corpus never leaves the executors).
+
+    `pre_normalized=True` (r7): the caller already holds unit vectors in
+    `vec` — skip the in-train normalisation pass (re-normalising a unit
+    vector would also perturb the last ulp, so skipping is both cheaper
+    and the bit-exact choice)."""
     import numpy as np
-    rows = (with_unit_norm(df.where(F.col(vec).isNotNull()), vec)
-            .select("unit_vec").limit(sample).collect())
+    src = df.where(F.col(vec).isNotNull())
+    if pre_normalized:
+        rows = src.select(F.col(vec).alias("unit_vec")) \
+            .limit(sample).collect()
+    else:
+        rows = (with_unit_norm(src, vec)
+                .select("unit_vec").limit(sample).collect())
     if not rows:
         raise ValueError("ivf_train_centroids: no non-null vectors")
     x = np.array([r["unit_vec"] for r in rows], dtype=np.float64)
@@ -296,8 +318,17 @@ def cosine_topk_ivf(df: DataFrame, key: str = "vec_id",
     # them from both sides (r6 review — they previously crashed the
     # quantizer and could pad a sparse query's top-k with NULL cosines)
     df = df.where(F.col(vec).isNotNull())
-    cents = ivf_train_centroids(df, vec, n_lists, dim, seed)
-    u = with_unit_norm(df, vec)
+    # r7 (guide §2.4): normalise the corpus ONCE — materialised so the
+    # trainer's sample collect, the corpus routing, and the default
+    # query side all read the same checkpoint instead of re-running the
+    # Arrow norm per consumer.  Deliberately NOT repartitioned first:
+    # the trainer's limit(sample) must see the ORIGINAL scan order or
+    # the k-means seed sample (and hence the centroids) would change.
+    # Training on the stored unit vectors (pre_normalized) collects the
+    # identical sample values the old in-train normalisation produced.
+    u = with_unit_norm(df.select(key, vec), vec).localCheckpoint(eager=True)
+    cents = ivf_train_centroids(u, "unit_vec", n_lists, dim, seed,
+                                pre_normalized=True)
     corpus = with_ivf_list(u, cents, nprobe=1).select(
         F.col(key).alias("nn_id"), F.col("unit_vec").alias("cv"),
         F.element_at("ivf_list", 1).alias("list_id")) \
