@@ -1089,8 +1089,13 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap, so the contract query must run uncapped (r4 review — at
     # fixture scale no bucket comes near the cap, but the semantics must
     # match by construction, not by luck)
+    # small_corpus: the uncapped oracle form is only valid for corpora
+    # whose O(n²/buckets) candidate set is computable anyway, so pinning
+    # the RDD-backed bucket/vector sides as broadcasts is sound here
+    # (r7 — without it, strategy selection wobbled run to run on the
+    # statistics-free checkpointed relations)
     out = cosine_topk_lsh(e, planes=10, tables=4, rank_round=6,
-                          max_bucket=None)
+                          max_bucket=None, small_corpus=True)
     return out.select("query_id", "nn_id", "rank",
                       F.round("cosine", 6).alias("cos_r"))
 

@@ -355,7 +355,8 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
                     vec: str = "embedding", k: int = 5, planes: int = 8,
                     dim: int = 64, tables: int = 4,
                     max_bucket: int | None = 10_000,
-                    rank_round: int | None = None) -> DataFrame:
+                    rank_round: int | None = None,
+                    small_corpus: bool = False) -> DataFrame:
     """ANN top-k via multi-table hyperplane LSH (OR-construction).
 
     `tables` independent plane sets each hash every vector into a bucket;
@@ -405,15 +406,26 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
         buckets = buckets.join(ok, on=["tbl", "h"])
     lhs = buckets.select(F.col(key).alias("query_id"), "tbl", "h")
     rhs = buckets.select(F.col(key).alias("nn_id"), "tbl", "h")
-    cands = (lhs.join(rhs, on=["tbl", "h"])
+    # `small_corpus=True` (r7): the checkpointed relations are RDD-backed
+    # with no size statistics, so join-strategy selection is left to
+    # runtime estimates and wobbles run to run; a caller that KNOWS the
+    # corpus is bounded (the uncapped oracle-device invocation is only
+    # valid for such corpora — its candidate set is O(n²/buckets)) pins
+    # the bucket-key and unit-vector sides as broadcasts.  The default
+    # leaves the planner free: these relations are O(corpus) and MUST
+    # NOT be force-broadcast in the production path.
+    _b = F.broadcast if small_corpus else (lambda d: d)
+    cands = (lhs.join(_b(rhs), on=["tbl", "h"])
              .where(F.col("query_id") != F.col("nn_id"))
              .select("query_id", "nn_id").distinct())
     vecs = b.select(F.col(key), F.col("unit_vec"))
     scored = (cands
-              .join(vecs.select(F.col(key).alias("query_id"),
-                                F.col("unit_vec").alias("qv")), on="query_id")
-              .join(vecs.select(F.col(key).alias("nn_id"),
-                                F.col("unit_vec").alias("cv")), on="nn_id")
+              .join(_b(vecs.select(F.col(key).alias("query_id"),
+                                   F.col("unit_vec").alias("qv"))),
+                    on="query_id")
+              .join(_b(vecs.select(F.col(key).alias("nn_id"),
+                                   F.col("unit_vec").alias("cv"))),
+                    on="nn_id")
               .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
               .select("query_id", "nn_id", "cosine"))
     rank_key = F.col("cosine") if rank_round is None \

@@ -210,3 +210,40 @@ def test_substring_dedup_plan_shape(spark):
     # the single content shuffle is hash-partitioned on the 8-byte gram
     # hash, never on gram text
     assert "hashpartitioning(gh" in plan, plan
+
+
+def test_lsh_minhash_single_subtree_r7(spark):
+    """r7: the bucket/sketch relations are materialised ONCE (eager
+    localCheckpoint) before their self-joins — the returned plans read
+    RDD scans only.  Before, each branch re-ran scan+UDF: lsh_topk's
+    plan held 4 parquet scans and 4 Arrow UDF evaluations."""
+    plan = _plan(m.queries()["minhash_pairs"](spark, SF))
+    assert "Scan parquet" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan      # signature behind ckpt
+    plan = _plan(m.queries()["lsh_topk"](spark, SF))
+    assert "Scan parquet" not in plan, plan
+    # the only live Python stage is the exact-cosine dot over candidates
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_nearest_cell_reads_checkpoints_r7(spark):
+    """r7: both assign sides of the J8 nearest join are checkpointed, so
+    the join-key IsNotNull inference can no longer re-substitute the
+    layered geocode chain into scan Filters (the 21 s plan pathology)."""
+    plan = _plan(m.queries()["hex_nearest_cell"](spark, SF))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    # the re-inlined assign chain's signature constant never appears
+    assert "2147483647" not in plan, plan[:2000]
+
+
+def test_dense_index_small_path_matches(spark):
+    """r7: dense_index(small=True) must produce the identical numbering
+    as the scalable range-partitioned path."""
+    from hexscape_spark.indexing import dense_index
+    df = spark.range(0, 500).selectExpr("id % 37 AS a", "id AS b")
+    big = dense_index(df, ["a", "b"], out="Index")
+    small = dense_index(df, ["a", "b"], out="Index", small=True)
+    assert big.exceptAll(small).count() == 0
+    assert small.exceptAll(big).count() == 0
+    assert dict(small.dtypes)["Index"] == "bigint"
