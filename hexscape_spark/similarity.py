@@ -418,16 +418,49 @@ def cosine_topk_lsh(df: DataFrame, key: str = "vec_id",
     cands = (lhs.join(_b(rhs), on=["tbl", "h"])
              .where(F.col("query_id") != F.col("nn_id"))
              .select("query_id", "nn_id").distinct())
-    vecs = b.select(F.col(key), F.col("unit_vec"))
-    scored = (cands
-              .join(_b(vecs.select(F.col(key).alias("query_id"),
-                                   F.col("unit_vec").alias("qv"))),
-                    on="query_id")
-              .join(_b(vecs.select(F.col(key).alias("nn_id"),
-                                   F.col("unit_vec").alias("cv"))),
-                    on="nn_id")
-              .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
-              .select("query_id", "nn_id", "cosine"))
+    if small_corpus:
+        # gather-scoring (r7, guide §2.3 "shuffle keys instead of
+        # payloads"): the per-pair join form moves BOTH 64-double unit
+        # vectors through Arrow for every candidate pair (~2 GB at 2M
+        # pairs); with a bounded corpus the whole unit matrix broadcasts
+        # once (~10 MB) and each task gathers rows by key — candidate
+        # rows stay two ids wide.  np.einsum over gathered float64 rows
+        # is the identical arithmetic _dot_arrow runs on the joined
+        # arrays, so the cosines are bit-identical.
+        sc = df.sparkSession.sparkContext
+        vp = b.select(F.col(key), F.col("unit_vec")).toPandas()
+        ids = vp[key].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in vp["unit_vec"]])[order]
+        bm = sc.broadcast((ids[order], mat))
+        key_t = dict(df.dtypes)[key]
+        schema = f"query_id {key_t}, nn_id {key_t}, cosine DOUBLE"
+
+        def score(batches):
+            sids, smat = bm.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qi = np.searchsorted(sids, pdf["query_id"].to_numpy())
+                ni = np.searchsorted(sids, pdf["nn_id"].to_numpy())
+                yield pd.DataFrame({
+                    "query_id": pdf["query_id"],
+                    "nn_id": pdf["nn_id"],
+                    "cosine": np.einsum("ij,ij->i", smat[qi], smat[ni])})
+
+        scored = cands.mapInPandas(score, schema=schema)
+    else:
+        vecs = b.select(F.col(key), F.col("unit_vec"))
+        scored = (cands
+                  .join(vecs.select(F.col(key).alias("query_id"),
+                                    F.col("unit_vec").alias("qv")),
+                        on="query_id")
+                  .join(vecs.select(F.col(key).alias("nn_id"),
+                                    F.col("unit_vec").alias("cv")),
+                        on="nn_id")
+                  .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
+                  .select("query_id", "nn_id", "cosine"))
     rank_key = F.col("cosine") if rank_round is None \
         else F.round("cosine", rank_round)
     w = Window.partitionBy("query_id").orderBy(F.desc(rank_key),

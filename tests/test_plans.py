@@ -125,10 +125,14 @@ def test_pip_join_refine_ships_geometry_via_join(spark):
 
 def test_lsh_sketch_is_arrow_batched(spark):
     """The hyperplane sketch runs as ONE vectorized Arrow eval, not
-    per-plane expression chains."""
+    per-plane expression chains.  r7: the sketch+norm pass sits BEHIND
+    the eager localCheckpoint (it executes once, at build time), so the
+    returned plan reads RDD scans; the only live Python stage is the
+    vectorized gather-scoring MapInPandas over candidate id pairs."""
     df = m.queries()["lsh_topk"](spark, SF)
     plan = _plan(df)
-    assert "ArrowEvalPython" in plan or "Arrow" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_dissolve_plan_is_two_level(spark):
@@ -222,8 +226,11 @@ def test_lsh_minhash_single_subtree_r7(spark):
     assert "ArrowEvalPython" not in plan, plan      # signature behind ckpt
     plan = _plan(m.queries()["lsh_topk"](spark, SF))
     assert "Scan parquet" not in plan, plan
-    # the only live Python stage is the exact-cosine dot over candidates
-    assert plan.count("ArrowEvalPython") == 1, plan
+    # the only live Python stage is the exact-cosine gather-scoring pass
+    # over candidate id PAIRS (two longs wide — the unit vectors travel
+    # once, inside the ~10 MB broadcast matrix, never per pair)
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert plan.count("MapInPandas") == 1, plan
 
 
 def test_nearest_cell_reads_checkpoints_r7(spark):
