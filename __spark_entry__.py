@@ -1438,7 +1438,7 @@ def _q_hex_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
     text): pure integer arithmetic, no float involved."""
     _views(spark, sf_dir)
     cells = _assign_ckpt(spark, "documents", "doc_id",
-                         "q, r, cell_id", distinct=True)
+                         "q, r, cell_id", distinct=True, spread=False)
     offs = spark.createDataFrame(
         [(-1, 0, "NW"), (-1, 1, "NE"), (0, -1, "W"),
          (0, 1, "E"), (1, -1, "SW"), (1, 0, "SE")],
@@ -1463,8 +1463,7 @@ def _q_hex_kring_profile(spark: SparkSession, sf_dir: str,
     aggregates are integer sums, so the rows are bit-identical to the
     shared SQL text the oracle keeps (_sql_hex_kring_profile)."""
     _views(spark, sf_dir)
-    sub = sqlgen.assign_sql(
-        "(SELECT /*+ REPARTITION(doc_id) */ * FROM documents)", "doc_id")
+    sub = sqlgen.assign_sql("documents", "doc_id")
     cells = spark.sql(
         "SELECT q, r, cell_id, COUNT(*) AS n FROM (" + sub +
         ") AS t GROUP BY q, r, cell_id").localCheckpoint(eager=True)
@@ -1505,9 +1504,13 @@ def _q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executions (guide §2.4/§2.5).  sample_fraction=1.0 makes the heavy
     # set exact counts, and the final per-cell count/int-cents sums are
     # partition-exact, so the result cannot change.
-    ev = spark.sql(sqlgen.assign_sql(
+    sub = sqlgen.assign_sql(
         "(SELECT /*+ REPARTITION(event_id) */ * FROM events)", "event_id",
-        keep=["value"])).localCheckpoint(eager=True)
+        keep=["value"])
+    # project to the three columns the rollup touches BEFORE materialising
+    # (guide §2.3 — lon/lat/q/r would only inflate the checkpoint)
+    ev = spark.sql(f"SELECT event_id, cell_id, value FROM ({sub}) AS t") \
+        .localCheckpoint(eager=True)
     ev = ev.withColumn("value_cents",
                        F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
     out = salted_agg(ev, key="cell_id", sums=["value_cents"],
@@ -1948,14 +1951,18 @@ def _sql_hex_nearest_cell_fast(k: int = 3) -> str:
 
 
 def _assign_ckpt(spark: SparkSession, table: str, key: str,
-                 select: str, distinct: bool = False) -> DataFrame:
+                 select: str, distinct: bool = False,
+                 spread: bool = True) -> DataFrame:
     """Materialised hex-assign relation (r7, guide §2.4/§2.5/§4):
 
       * the fixture tables are single-row-group parquet files, so a plain
         scan (and everything Catalyst fuses onto it) runs as ONE task —
         a REPARTITION(key) hint right after the read spreads the assign
         arithmetic across the session's shuffle partitions (deterministic
-        hash key, not round-robin, so retries are safe per SPARK-38388);
+        hash key, not round-robin, so retries are safe per SPARK-38388).
+        `spread=False` skips the hint for small inputs where the A/B
+        showed the extra shuffle costs more than the parallelism buys
+        (documents at 50k rows: 0.23 s unhinted vs 0.30 s hinted);
       * the eager localCheckpoint materialises (key, lon, lat, q, r) so
         downstream equi-joins see a plain relation.  Without it, the
         join-key IsNotNull inference re-substitutes the WHOLE layered
@@ -1966,8 +1973,9 @@ def _assign_ckpt(spark: SparkSession, table: str, key: str,
         itself.  The checkpoint is INSIDE the timed query and recomputed
         from parquet on every invocation — nothing persists across runs.
     """
-    sub = sqlgen.assign_sql(
-        f"(SELECT /*+ REPARTITION({key}) */ * FROM {table})", key)
+    src = f"(SELECT /*+ REPARTITION({key}) */ * FROM {table})" if spread \
+        else table
+    sub = sqlgen.assign_sql(src, key)
     d = "DISTINCT " if distinct else ""
     return spark.sql(f"SELECT {d}{select} FROM ({sub}) AS t") \
         .localCheckpoint(eager=True)
@@ -1991,7 +1999,8 @@ def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _assign_ckpt(spark, "events", "event_id",
                       "event_id, lon, lat, q, r")
     occ = _assign_ckpt(spark, "documents", "doc_id",
-                       "q AS cq, r AS cr, cell_id", distinct=True)
+                       "q AS cq, r AS cr, cell_id", distinct=True,
+                       spread=False)
     k = 3
     offs = [(dq, dr) for dq in range(-k, k + 1) for dr in range(-k, k + 1)
             if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= k]
