@@ -11,6 +11,7 @@ bit-for-bit per the north rule.  Monetary aggregates are integerised
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1994,13 +1995,30 @@ def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid precomputed per expanded row (once per occ×37, not once
     per event×candidate), broadcasts, and each event makes one hash
     probe feeding a combinable MIN(struct) — measured 21.1 s → ~3.5 s
-    at sf1.0, exceptAll-parity in both directions."""
+    at sf1.0, exceptAll-parity in both directions.
+
+    r7 follow-up, scale-adaptive argmin: MIN(struct) cannot
+    hash-aggregate (struct is not a mutable buffer type), so the
+    struct-min plan SORTS the full event×candidate fan-out inside the
+    partial SortAggregate.  Above _NN_GATHER_MIN_EVENTS the candidates
+    are instead pre-grouped per probe key into arrays on the broadcast
+    side and each event's winner is array_min(transform(...)) — same
+    lexicographic (d, cell_id) ordering, one row per event out of the
+    join, NO aggregate at all.  The fan-out sort disappears: measured
+    3.65 → 2.54 s at sf1.0 (1M events) and 2.42 → 1.92 s at 3× sf0.1,
+    but the array build + interpreted fold loses at sf0.1 (1.27 → 1.88 s
+    at 100k events), hence the measured-crossover gate (~200k events;
+    the count is a cheap job over the eager checkpoint).  exceptAll
+    parity in both directions at sf0.01, sf0.1 and a 1M-event replica;
+    the unconditional struct-min/array-gather equivalence is pinned in
+    tests/test_plans.py."""
     _views(spark, sf_dir)
     ev = _assign_ckpt(spark, "events", "event_id",
                       "event_id, lon, lat, q, r")
     occ = _assign_ckpt(spark, "documents", "doc_id",
                        "q AS cq, r AS cr, cell_id", distinct=True,
                        spread=False)
+    use_gather = ev.count() >= _NN_GATHER_MIN_EVENTS
     k = 3
     offs = [(dq, dr) for dq in range(-k, k + 1) for dr in range(-k, k + 1)
             if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= k]
@@ -2009,6 +2027,8 @@ def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     expd = (occ.crossJoin(offs_df)
             .selectExpr("cq - dq AS kq", "cr - dr AS kr", "cell_id",
                         f"{cx} AS cx", f"{cy} AS cy"))
+    if use_gather:
+        return _nn_gather_best(ev, expd)
     dist = F.sqrt(
         (F.col("lon") - F.col("cx")) * (F.col("lon") - F.col("cx")) +
         (F.col("lat") - F.col("cy")) * (F.col("lat") - F.col("cy")))
@@ -2019,6 +2039,36 @@ def _q_nearest_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("cell_id").alias("c"))).alias("b"))
             .select("event_id", F.col("b.c").alias("nn_cell_id"),
                     F.round("b.d", 6).alias("dist_r")))
+
+
+# Measured crossover between the struct-min and array-gather argmin plans
+# (see _q_nearest_cell_knn): struct-min wins at 100k events (1.27 vs
+# 1.88 s), array-gather at 300k (1.92 vs 2.42 s) and 1M (2.54 vs 3.65 s).
+# Overridable for cluster profiles where the sort/fold balance differs.
+_NN_GATHER_MIN_EVENTS = int(os.environ.get(
+    "HEXSCAPE_NN_GATHER_MIN_EVENTS", "200000"))
+
+
+def _nn_gather_best(ev: DataFrame, expd: DataFrame) -> DataFrame:
+    """Array-gather argmin for the J8 nearest join: candidates grouped
+    per probe key (kq, kr) into a broadcast array; each event joins to
+    ONE row and array_min picks the (d, cell_id)-lexicographic winner —
+    identical semantics to MIN(struct(d, c)) because struct ordering is
+    field-order lexicographic and cell_ids are unique per array (a
+    strict total order, so the fold result is independent of
+    collect_list's nondeterministic array order)."""
+    cand = (expd.groupBy("kq", "kr")
+            .agg(F.collect_list(F.struct("cell_id", "cx", "cy"))
+                 .alias("cs")))
+    best = (ev.join(F.broadcast(cand),
+                    [F.col("kq") == F.col("q"), F.col("kr") == F.col("r")])
+            .select("event_id", F.expr(
+                "array_min(transform(cs, x -> named_struct("
+                "'d', SQRT((lon - x.cx)*(lon - x.cx) + "
+                "(lat - x.cy)*(lat - x.cy)), "
+                "'c', x.cell_id)))").alias("b")))
+    return best.select("event_id", F.col("b.c").alias("nn_cell_id"),
+                       F.round("b.d", 6).alias("dist_r"))
 
 
 # ---------------------------------------------------------------------------
